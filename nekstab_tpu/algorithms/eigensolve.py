@@ -1,0 +1,162 @@
+"""Krylov-Schur eigensolver and power iteration over an abstract operator.
+
+Reference: core/eigensolvers.f (krylov_schur :141-388, schur_condensation
+:395-499, power_iteration :919-975). The dense k x k Hessenberg work runs
+host-side in float64 numpy/scipy (the reference vendors LAPACK DGEES/DTRSEN/
+DGEEV for the same purpose, core/lapack_wrapper.f) — it is negligible next to
+the time-stepper matvecs and stays replicated per host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+import scipy.linalg
+
+from ..config import ArnoldiConfig
+from .arnoldi import (ArnoldiSpace, arnoldi_factorization, tree_alloc,
+                      tree_combine, tree_get, tree_set)
+
+
+def eig_hessenberg(Hk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Eigen-decomposition sorted by decreasing modulus (reference `eig` +
+    sort_eigendecomp, core/lapack_wrapper.f:129-251)."""
+    lam, V = np.linalg.eig(Hk)
+    order = np.argsort(-np.abs(lam))
+    return lam[order], V[:, order]
+
+
+def ritz_residuals(H: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ritz values/vectors of H[:k,:k] and their residuals
+    |H[k,k-1] * (last component of eigvec)| (core/eigensolvers.f:349-351)."""
+    lam, V = eig_hessenberg(H[:k, :k])
+    res = np.abs(H[k, k - 1] * V[k - 1, :])
+    return lam, V, res
+
+
+def _schur_keep_count(moduli: np.ndarray, target: int) -> int:
+    """How many leading (by modulus) Schur directions to keep: at least
+    target+4, never splitting a complex-conjugate pair, at most k-2
+    (cf. select_eigenvalues, core/eigensolvers.f:778-790)."""
+    k = len(moduli)
+    m = min(max(target + 4, 2), k - 2)
+    srt = np.sort(moduli)[::-1]
+    while m < k - 2 and np.isclose(srt[m - 1], srt[m], rtol=1e-10):
+        m += 1
+    return m
+
+
+@dataclass
+class KrylovSchurResult:
+    evals: np.ndarray          # converged Ritz values (of exp(tau L))
+    evecs_coeffs: np.ndarray   # (k, nconv) complex combination coefficients
+    residuals: np.ndarray
+    Q: object                  # final stacked Krylov basis (pytree)
+    H: np.ndarray
+    n_outer: int
+    converged: bool
+    history: list = field(default_factory=list)
+
+    def reconstruct_mode(self, i: int):
+        """Real/imag parts of Ritz vector i as vectors in the Krylov space."""
+        c = self.evecs_coeffs[:, i]
+        k = self.evecs_coeffs.shape[0]
+        re = tree_combine(_basis_slice(self.Q, k), np.ascontiguousarray(c.real))
+        im = tree_combine(_basis_slice(self.Q, k), np.ascontiguousarray(c.imag))
+        return re, im
+
+
+def _basis_slice(Q, k):
+    import jax
+    return jax.tree.map(lambda x: x[:k], Q)
+
+
+def krylov_schur(space: ArnoldiSpace, v0, cfg: ArnoldiConfig,
+                 callback: Callable | None = None,
+                 logger: Callable = print) -> KrylovSchurResult:
+    """Arnoldi with Krylov-Schur restarts until `schur_tgt` Ritz pairs of the
+    propagator converge below `eigen_tol` (one-shot if schur_tgt <= 0).
+
+    v0: start vector pytree (noise/seed — reference core/eigensolvers.f:216-263).
+    """
+    k = cfg.k_dim
+    dtype = np.float64
+    v0n, _ = space.normalize(v0)
+    Q = tree_alloc(v0n, k + 1)
+    Q = tree_set(Q, 0, v0n)
+    H = np.zeros((k + 1, k), dtype=dtype)
+    mstart = 1
+    history = []
+    for outer in range(1, cfg.max_restarts + 1):
+        Q, beta = arnoldi_factorization(space, Q, H, mstart, k,
+                                        callback=callback)
+        lam, V, res = ritz_residuals(H, k)
+        nconv = int(np.sum(res < cfg.eigen_tol))
+        history.append(dict(outer=outer, beta=beta, nconv=nconv,
+                            leading=lam[0] if len(lam) else None))
+        logger(f"[krylov_schur] outer={outer} beta={beta:.3e} "
+               f"converged={nconv}/{max(cfg.schur_tgt, 0)}")
+        if cfg.schur_tgt <= 0:
+            break
+        if nconv >= cfg.schur_tgt:
+            break
+        # --- Krylov-Schur condensation (schur_condensation,
+        #     core/eigensolvers.f:395-499) ---
+        Hk = H[:k, :k]
+        moduli = np.abs(np.linalg.eigvals(Hk))
+        m = _schur_keep_count(moduli, cfg.schur_tgt)
+        srt = np.sort(moduli)[::-1]
+        cut = 0.5 * (srt[m - 1] + srt[m])
+        T, Z, sdim = scipy.linalg.schur(
+            Hk, sort=lambda re, im: np.hypot(re, im) >= cut)
+        m = int(sdim)
+        if m < 1 or m >= k - 1:
+            m = min(max(cfg.schur_tgt + 4, 2), k - 2)
+            T, Z = scipy.linalg.schur(Hk)  # no sort; keep leading by order
+        # rotate basis: Q[:m] <- Q[:k] Z[:, :m]; keep residual vector at slot m
+        bnew = H[k, k - 1] * Z[k - 1, :m]
+        Qk = _basis_slice(Q, k)
+        Qrot = tree_combine(Qk, np.ascontiguousarray(Z[:, :m]))
+        resid_vec = tree_get(Q, k)
+        import jax
+        Q = jax.tree.map(
+            lambda full, rot: full.at[:m].set(rot), Q, Qrot)
+        Q = tree_set(Q, m, resid_vec)
+        H[:] = 0.0
+        H[:m, :m] = T[:m, :m]
+        H[m, :m] = bnew
+        mstart = m + 1
+    lam, V, res = ritz_residuals(H, k)
+    keep = res < cfg.eigen_tol
+    if cfg.schur_tgt <= 0:
+        keep = np.ones_like(keep, dtype=bool)
+    return KrylovSchurResult(
+        evals=lam[keep][:cfg.maxmodes * 2] if cfg.schur_tgt > 0 else lam,
+        evecs_coeffs=V[:, keep][:, :cfg.maxmodes * 2] if cfg.schur_tgt > 0 else V,
+        residuals=res[keep] if cfg.schur_tgt > 0 else res,
+        Q=Q, H=H.copy(), n_outer=outer,
+        converged=bool(np.sum(res < cfg.eigen_tol) >= max(cfg.schur_tgt, 1)),
+        history=history)
+
+
+def log_transform(evals: np.ndarray, tau: float) -> np.ndarray:
+    """Map propagator multipliers to NS eigenvalues: lambda = log(mu)/tau
+    (reference log_transform, core/eigensolvers.f:908-915)."""
+    return np.log(evals.astype(complex)) / tau
+
+
+def power_iteration(space: ArnoldiSpace, v0, nsteps: int = 10,
+                    logger: Callable = print):
+    """Largest-modulus eigenvalue via power iteration with Rayleigh quotient
+    (reference core/eigensolvers.f:919-975)."""
+    v, _ = space.normalize(v0)
+    lam = None
+    for i in range(nsteps):
+        w = space.matvec(v)
+        lam = float(space.dot(v, w))
+        nrm = float(space.norm(w))
+        logger(f"[power_iteration] step={i} rayleigh={lam:.8e} |Av|={nrm:.4e}")
+        v, _ = space.normalize(w)
+    return lam, v

@@ -1,0 +1,124 @@
+"""Device-side SEM operator context.
+
+Bundles everything the jitted compute path needs: the 1D differentiation
+matrix, geometric factors, the diagonal mass matrix, direct-stiffness
+connectivity and Dirichlet masks — the TPU-native replacement for the
+reference's Nek5000 geometry arrays (`bm1`, `rxm1`...) and gslib handles
+(SURVEY.md L0/L1). Built once (host-side numpy, float64) from a Mesh2D and
+cast to the configured device dtype.
+
+The context is a registered pytree so it can be passed through `jax.jit`
+without re-tracing per call; integer metadata (nglobal, axis_name) is static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh import Mesh2D
+from ..quadrature import make_basis
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["D", "rx", "ry", "sx", "sy", "jac", "bm", "bm_assembled",
+                      "g11", "g12", "g22", "diag_a", "mask_vel", "mask_p",
+                      "multinv", "xcoord", "ycoord", "bm_eig", "gid"],
+         meta_fields=["n", "nelem", "nglobal", "axis_name"])
+@dataclasses.dataclass(frozen=True)
+class SemContext:
+    # static metadata
+    n: int
+    nelem: int                # local element count (per shard when sharded)
+    nglobal: int
+    axis_name: str | None     # shard_map axis for cross-device dssum/psum
+
+    # device arrays, all (E, n, n) unless noted
+    D: jnp.ndarray            # (n, n) differentiation matrix
+    rx: jnp.ndarray
+    ry: jnp.ndarray
+    sx: jnp.ndarray
+    sy: jnp.ndarray
+    jac: jnp.ndarray
+    bm: jnp.ndarray           # diagonal mass (unassembled, = w_i w_j J)
+    bm_assembled: jnp.ndarray # dssum(bm)
+    g11: jnp.ndarray          # stiffness geometric factors
+    g12: jnp.ndarray
+    g22: jnp.ndarray
+    diag_a: jnp.ndarray       # assembled diagonal of the weak Laplacian
+    mask_vel: jnp.ndarray     # (2, E, n, n) velocity Dirichlet masks (u, v)
+    mask_p: jnp.ndarray       # (E, n, n) pressure mask (0 at outflow)
+    multinv: jnp.ndarray      # 1 / dof multiplicity
+    gid: jnp.ndarray          # (E, n, n) int32 global dof ids
+    xcoord: jnp.ndarray
+    ycoord: jnp.ndarray
+    bm_eig: jnp.ndarray       # inner-product weight (bm, zeroed in sponge zone
+                              #  — the reference's bm1s, core/usr_extra.f:104-128)
+
+    @property
+    def dtype(self):
+        return self.bm.dtype
+
+
+def geometry_factors(mesh: Mesh2D) -> dict[str, np.ndarray]:
+    """Metric terms, Jacobian, mass and stiffness factors (numpy, float64)."""
+    basis = make_basis(mesh.n)
+    D = basis.D
+    x, y = mesh.x, mesh.y
+    xr = np.einsum("ik,ekj->eij", D, x)
+    xs = np.einsum("jl,eil->eij", D, x)
+    yr = np.einsum("ik,ekj->eij", D, y)
+    ys = np.einsum("jl,eil->eij", D, y)
+    jac = xr * ys - xs * yr
+    if np.any(jac <= 0):
+        raise ValueError("non-positive Jacobian: tangled element(s)")
+    rx = ys / jac
+    ry = -xs / jac
+    sx = -yr / jac
+    sy = xr / jac
+    w2 = np.outer(basis.w, basis.w)[None, :, :]
+    bm = w2 * jac
+    g11 = w2 * jac * (rx * rx + ry * ry)
+    g12 = w2 * jac * (rx * sx + ry * sy)
+    g22 = w2 * jac * (sx * sx + sy * sy)
+    # element-local diagonal of the weak Laplacian
+    diag_local = (np.einsum("ki,ekj->eij", D * D, g11)
+                  + np.einsum("lj,eil->eij", D * D, g22)
+                  + 2.0 * np.einsum("i,j,eij->eij", np.diag(D), np.diag(D), g12))
+    return dict(D=D, rx=rx, ry=ry, sx=sx, sy=sy, jac=jac, bm=bm,
+                g11=g11, g12=g12, g22=g22, diag_local=diag_local)
+
+
+def _np_dssum(gid: np.ndarray, u: np.ndarray, nglobal: int) -> np.ndarray:
+    g = np.zeros(nglobal)
+    np.add.at(g, gid.ravel(), u.ravel())
+    return g[gid]
+
+
+def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
+                 sponge_ramp: np.ndarray | None = None) -> SemContext:
+    """Build the device context. `sponge_ramp` (E,n,n, >=0) marks the sponge
+    zone; the eigensolver inner-product weight bm_eig is zeroed wherever the
+    ramp is active (reference: bm1s, core/usr_extra.f:104-128)."""
+    g = geometry_factors(mesh)
+    bm_assembled = _np_dssum(mesh.gid, g["bm"], mesh.nglobal)
+    diag_a = _np_dssum(mesh.gid, g["diag_local"], mesh.nglobal)
+    mask_vel = np.stack([mesh.mask_u, mesh.mask_v])
+    bm_eig = g["bm"].copy()
+    if sponge_ramp is not None:
+        bm_eig[sponge_ramp > 0] = 0.0
+    dev = lambda a: jnp.asarray(a, dtype=dtype)
+    return SemContext(
+        n=mesh.n, nelem=mesh.nelem, nglobal=mesh.nglobal,
+        gid=jnp.asarray(mesh.gid, dtype=jnp.int32),
+        axis_name=axis_name,
+        D=dev(g["D"]), rx=dev(g["rx"]), ry=dev(g["ry"]), sx=dev(g["sx"]),
+        sy=dev(g["sy"]), jac=dev(g["jac"]), bm=dev(g["bm"]),
+        bm_assembled=dev(bm_assembled), g11=dev(g["g11"]), g12=dev(g["g12"]),
+        g22=dev(g["g22"]), diag_a=dev(diag_a), mask_vel=dev(mask_vel),
+        mask_p=dev(mesh.mask_p), multinv=dev(1.0 / mesh.mult),
+        xcoord=dev(mesh.x), ycoord=dev(mesh.y), bm_eig=dev(bm_eig))

@@ -1,0 +1,59 @@
+"""Direct-stiffness summation (gather-scatter) and global reductions.
+
+TPU-native replacement for Nek5000's gslib `dssum/dsavg` and the global
+reduction wrappers `glsum/glsc3` the reference uses everywhere
+(core/utils.f:391-405, core/krylov_subspace.f:37-44). Implementation:
+segment-sum into the global dof vector (XLA scatter-add) and gather back;
+under `shard_map` (elements sharded over `ctx.axis_name`) the global vector is
+psum'd over ICI, which is both the assembly and the halo exchange in one
+collective. All ops are linear, so `jax.linear_transpose` of the propagator
+transposes them correctly (scatter <-> gather are mutual transposes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .context import SemContext
+
+
+def _assemble_global(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
+    """Sum duplicated dofs into the global vector; u is (..., E, n, n)."""
+    lead = u.shape[:-3]
+    flat = u.reshape(lead + (-1,))
+    seg = jax.ops.segment_sum(
+        jnp.moveaxis(flat, -1, 0), ctx.gid.reshape(-1),
+        num_segments=ctx.nglobal)
+    g = jnp.moveaxis(seg, 0, -1)
+    if ctx.axis_name is not None:
+        g = lax.psum(g, ctx.axis_name)
+    return g
+
+
+def dssum(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
+    """Direct-stiffness sum: duplicated dofs receive the sum over all copies."""
+    g = _assemble_global(ctx, u)
+    return g[..., ctx.gid]
+
+
+def dsavg(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
+    """Average duplicated dofs (multiplicity-weighted), cf. Nek dsavg."""
+    return dssum(ctx, u) * ctx.multinv
+
+
+def glsum(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
+    """Global sum of all (local) entries across devices."""
+    s = jnp.sum(u)
+    if ctx.axis_name is not None:
+        s = lax.psum(s, ctx.axis_name)
+    return s
+
+
+def glsc3(ctx: SemContext, a: jnp.ndarray, w: jnp.ndarray,
+          b: jnp.ndarray) -> jnp.ndarray:
+    """Weighted global dot sum(a * w * b) — the reference's glsc3. With w the
+    unassembled mass bm there is no double counting at shared dofs: each copy
+    carries only its own element's quadrature weight."""
+    return glsum(ctx, a * w * b)

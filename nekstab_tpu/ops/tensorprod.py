@@ -1,0 +1,75 @@
+"""Element-local tensor-product SEM operators (JAX compute path).
+
+These are the hot kernels of the framework: every field derivative is a pair of
+small batched matmuls (the classic "fast tensor-product" trick), expressed so
+XLA maps them onto the MXU as one large (E*n, n) x (n, n) GEMM per direction.
+The reference obtains the same operations from Nek5000's mxm-based local
+operators (SURVEY.md L1); here they are native XLA einsums, with a Pallas
+fused variant for the full gradient planned in ops/pallas_kernels.py.
+
+Conventions: fields are (..., E, n, n) with index [e, i, j]; i is the r-index,
+j the s-index. All functions are linear in the field argument (required for
+`jax.linear_transpose` of the linearized propagator, solver/linearized.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .context import SemContext
+
+
+def deriv_r(D: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """du/dr: contract the i-index: (D u)[e,i,j] = sum_k D[i,k] u[e,k,j]."""
+    return jnp.einsum("ik,...kj->...ij", D, u)
+
+
+def deriv_s(D: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """du/ds: contract the j-index."""
+    return jnp.einsum("jk,...ik->...ij", D, u)
+
+
+def deriv_r_t(D: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Transpose of deriv_r: (D^T w)[e,k,j] = sum_i D[i,k] w[e,i,j]."""
+    return jnp.einsum("ik,...ij->...kj", D, w)
+
+
+def deriv_s_t(D: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    return jnp.einsum("jk,...ij->...ik", D, w)
+
+
+def grad(ctx: SemContext, u: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Physical gradient (du/dx, du/dy) at collocation points."""
+    ur = deriv_r(ctx.D, u)
+    us = deriv_s(ctx.D, u)
+    return ctx.rx * ur + ctx.sx * us, ctx.ry * ur + ctx.sy * us
+
+
+def mass(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
+    """Diagonal (unassembled) mass: B u."""
+    return ctx.bm * u
+
+
+def weak_laplacian(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
+    """Element-local weak Laplacian A u (assemble with dssum afterwards):
+    (A u)_q = int grad(u) . grad(phi_q), via the G-factor form."""
+    ur = deriv_r(ctx.D, u)
+    us = deriv_s(ctx.D, u)
+    wr = ctx.g11 * ur + ctx.g12 * us
+    ws = ctx.g12 * ur + ctx.g22 * us
+    return deriv_r_t(ctx.D, wr) + deriv_s_t(ctx.D, ws)
+
+
+def weak_div(ctx: SemContext, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Element-local weak divergence functional: result_q = int (u,v).grad(phi_q)
+    (equals -(div(u,v), phi_q) + boundary flux). Assemble with dssum."""
+    fr = ctx.bm * (ctx.rx * u + ctx.ry * v)
+    fs = ctx.bm * (ctx.sx * u + ctx.sy * v)
+    return deriv_r_t(ctx.D, fr) + deriv_s_t(ctx.D, fs)
+
+
+def strong_div(ctx: SemContext, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Collocation divergence du/dx + dv/dy."""
+    ux, _ = grad(ctx, u)
+    _, vy = grad(ctx, v)
+    return ux + vy

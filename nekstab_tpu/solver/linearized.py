@@ -1,0 +1,145 @@
+"""Linearized and adjoint Navier-Stokes propagators.
+
+Replaces the reference's `forward_linearized_map` / `adjoint_linearized_map`
+(core/matvec.f:163-326). The TPU-first difference: the adjoint is NOT a
+hand-discretized adjoint PDE solver — it is the exact transpose of the jitted
+linearized propagator via `jax.linear_transpose`, conjugated by the mass
+matrix, so <L u, v>_B = <u, L* v>_B holds to machine precision (the reference
+achieves ~2e-5 direct/adjoint eigenvalue agreement, BASELINE.md; here it is
+exact by construction).
+
+The linearized step shares the splitting structure of solver/stepper.py with
+advection linearized about a frozen (or time-varying/Floquet) base flow:
+    N'(u') = -(U.grad)u' - (u'.grad)U - sponge*u'
+and homogeneous Dirichlet BCs. The step is linear in the perturbation state,
+and the whole nsteps-propagation is a linear lax.scan, which JAX transposes
+into the reversed adjoint scan automatically.
+
+Perturbation pressure is carried inside the propagation but the Krylov
+operator maps velocity -> velocity (final pressure returned as a passive
+payload; the reference stores pr in its krylov_vector but gives it zero
+weight in all inner products, core/krylov_subspace.f:24-56).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import NSConfig
+from ..ops.context import SemContext
+from ..ops.gather_scatter import dssum
+from ..ops.tensorprod import grad, weak_div, weak_laplacian
+from .stepper import (NSState, _dot, _pressure_solver, convect,
+                      solve_spd_local, timestep_coeffs)
+
+
+def make_linear_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
+    """Returns lstep(base_u, sponge, pstate, ab, eb) -> pstate', linear in
+    pstate (an NSState of the perturbation)."""
+    nu = cfg.nu
+    dt = cfg.dt
+    dot = _dot(ctx)
+    psolve = _pressure_solver(ctx, cfg, has_outflow)
+
+    def helm_local(w, g0):
+        return (g0 / dt) * ctx.bm * w + nu * weak_laplacian(ctx, w)
+
+    def lstep(base_u, sponge, state: NSState, ab, eb):
+        u = state.u
+        # linearized advection + sponge damping (forcing hook analog of
+        # nekStab_forcing's perturbation branch, core/utils.f:149-180)
+        ncur = (-convect(ctx, base_u, u) - convect(ctx, u, base_u)
+                - sponge * u)
+        uhat = (ab[1] * u + ab[2] * state.ulag[0] + ab[3] * state.ulag[1]
+                + dt * (eb[0] * ncur + eb[1] * state.nlag[0]
+                        + eb[2] * state.nlag[1]))
+        g0 = ab[0]
+
+        rhs_dp = ctx.mask_p * dssum(
+            ctx, weak_div(ctx, uhat[0], uhat[1]) / dt
+            - weak_laplacian(ctx, state.p))
+        dp = psolve(rhs_dp)
+        p = state.p + dp
+        px, py = grad(ctx, p)
+        gradp = jnp.stack([px, py])
+
+        def hmat(x):
+            return ctx.mask_vel * dssum(ctx, helm_local(x, g0))
+
+        def hprecond(r):
+            return ctx.mask_vel * r / ((g0 / dt) * ctx.bm_assembled
+                                       + nu * ctx.diag_a)
+
+        rhs_v = ctx.mask_vel * dssum(ctx, ctx.bm * (uhat / dt - gradp))
+        unew = solve_spd_local(hmat, rhs_v, dot, hprecond, cfg.vtol,
+                               cfg.vmaxit)
+
+        return NSState(u=unew, p=p,
+                       ulag=jnp.stack([u, state.ulag[0]]),
+                       nlag=jnp.stack([ncur, state.nlag[0]]))
+
+    return lstep
+
+
+def _coeff_seqs(ctx, cfg, nsteps):
+    ab, eb = timestep_coeffs(nsteps, cfg.torder, np.float64)
+    return jnp.asarray(ab, ctx.dtype), jnp.asarray(eb, ctx.dtype)
+
+
+def make_linear_propagator(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
+                           nsteps: int):
+    """Returns prop(base_u, sponge, u0, p0) -> (u_tau, p_tau): the action of
+    exp(tau L) on a velocity perturbation, tau = nsteps*dt, about a frozen
+    base flow (reference 'forward_linearized_map' with a cold BDF start).
+
+    base_u may be (2,E,n,n) (steady) or (nsteps,2,E,n,n) (Floquet orbit
+    replay, reference core/matvec.f:200-236)."""
+    lstep = make_linear_step(ctx, cfg, has_outflow)
+    ab_seq, eb_seq = _coeff_seqs(ctx, cfg, nsteps)
+
+    def prop(base_u, sponge, u0, p0=None):
+        floquet = base_u.ndim == 5
+        if p0 is None:
+            p0 = jnp.zeros_like(ctx.bm)
+        state = NSState(u=u0, p=p0, ulag=jnp.stack([u0, u0]),
+                        nlag=jnp.zeros((2,) + u0.shape, u0.dtype))
+
+        def body(st, xs):
+            if floquet:
+                ab, eb, bu = xs
+            else:
+                ab, eb = xs
+                bu = base_u
+            return lstep(bu, sponge, st, ab, eb), None
+
+        xs = (ab_seq, eb_seq, base_u) if floquet else (ab_seq, eb_seq)
+        final, _ = lax.scan(body, state, xs)
+        return final.u, final.p
+
+    return prop
+
+
+def make_adjoint_propagator(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
+                            nsteps: int):
+    """Returns adj(base_u, sponge, v) -> (u_adj, p_aux): action of the
+    B-weighted adjoint exp(tau L)^dagger = B^-1 T^T B via linear_transpose,
+    projected back onto the continuous subspace with the B-orthogonal
+    averaging dssum(.)/dssum(B) (reference 'adjoint_linearized_map',
+    core/matvec.f:249-326 — there a separately discretized adjoint PDE)."""
+    prop = make_linear_propagator(ctx, cfg, has_outflow, nsteps)
+
+    def adj(base_u, sponge, v):
+        def fwd_vel(u0):
+            return prop(base_u, sponge, u0)[0]
+
+        transpose = jax.linear_transpose(fwd_vel, jnp.zeros_like(v))
+        (w,) = transpose(ctx.bm * v)
+        u_adj = dssum(ctx, w) / ctx.bm_assembled
+        return u_adj, jnp.zeros_like(ctx.bm)
+
+    return adj

@@ -1,0 +1,205 @@
+"""Semi-implicit incompressible Navier-Stokes stepper (BDF-k/EXT-k splitting).
+
+TPU-native replacement for the Nek5000 `nek_advance` the reference treats as a
+black box (SURVEY.md L1, core/matvec.f:222). Scheme: classic high-order
+splitting (Karniadakis-Israeli-Orszag 1991, as in Nek5000's PnPn path):
+
+  1. explicit BDF sum + extrapolated advection/forcing:
+         uhat = sum_j alpha_j u^{n-j} + dt * sum_j beta_j N(u^{n-j})
+  2. pressure Poisson (incremental):  A p^{n+1} = dssum(weak_div(uhat))/dt
+  3. velocity Helmholtz:  [ (g0/dt) B + nu A ] u^{n+1} = B (uhat/dt - grad p)
+
+with the BDF/EXT order ramping 1->torder over the first steps (the per-matvec
+"cold start" the reference also performs, core/matvec.f:163-243).
+
+Everything is expressed through the linear SEM ops + `solve_spd`
+(lax.custom_linear_solve), so the linearized twin of this step
+(solver/linearized.py) is exactly transposable.
+
+Velocity components are stacked (2, E, n, n); both Helmholtz solves run as one
+batched CG (larger GEMMs, one collective per iteration instead of two).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import NSConfig
+from ..ops.context import SemContext
+from ..ops.gather_scatter import dssum, glsum, glsc3
+from ..ops.tensorprod import grad, weak_div, weak_laplacian
+
+# BDF rows [gamma0, a1, a2, a3] and EXT rows [b1, b2, b3], order 1..3
+BDF_TABLE = np.array([
+    [1.0, 1.0, 0.0, 0.0],
+    [1.5, 2.0, -0.5, 0.0],
+    [11.0 / 6.0, 3.0, -1.5, 1.0 / 3.0],
+])
+EXT_TABLE = np.array([
+    [1.0, 0.0, 0.0],
+    [2.0, -1.0, 0.0],
+    [3.0, -3.0, 1.0],
+])
+
+
+def timestep_coeffs(nsteps: int, torder: int, dtype) -> tuple[np.ndarray, np.ndarray]:
+    """Per-step BDF/EXT coefficient sequences with startup ramp (host-side)."""
+    orders = np.minimum(np.arange(nsteps), torder - 1)
+    return (BDF_TABLE[orders].astype(dtype), EXT_TABLE[orders].astype(dtype))
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["u_bc", "f", "sponge", "sponge_ref"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class CaseFields:
+    """Per-case field data: BC values, steady body force, sponge layer
+    (reference: userbc/userf callbacks + spng_* arrays, core/utils.f:149-328)."""
+
+    u_bc: jnp.ndarray        # (2, E, n, n) Dirichlet values (only (1-mask) used)
+    f: jnp.ndarray           # (2, E, n, n) steady body force
+    sponge: jnp.ndarray      # (E, n, n) sponge ramp chi(x) * strength, >= 0
+    sponge_ref: jnp.ndarray  # (2, E, n, n) sponge target state
+
+
+def zero_case_fields(ctx: SemContext) -> CaseFields:
+    z2 = jnp.zeros((2,) + ctx.bm.shape, ctx.dtype)
+    return CaseFields(u_bc=z2, f=z2, sponge=jnp.zeros_like(ctx.bm),
+                      sponge_ref=z2)
+
+
+class NSState(NamedTuple):
+    u: jnp.ndarray      # (2, E, n, n)
+    p: jnp.ndarray      # (E, n, n)
+    ulag: jnp.ndarray   # (2, 2, E, n, n) previous velocities [n-1, n-2]
+    nlag: jnp.ndarray   # (2, 2, E, n, n) previous explicit terms
+
+
+def initial_state(ctx: SemContext, u0: jnp.ndarray,
+                  p0: jnp.ndarray | None = None) -> NSState:
+    p0 = jnp.zeros_like(ctx.bm) if p0 is None else p0
+    return NSState(u=u0, p=p0, ulag=jnp.stack([u0, u0]),
+                   nlag=jnp.zeros((2,) + u0.shape, u0.dtype))
+
+
+def convect(ctx: SemContext, c: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """(c . grad) u for stacked fields u (k, E, n, n), velocity c (2, E, n, n)."""
+    gx, gy = grad(ctx, u)
+    return c[0] * gx + c[1] * gy
+
+
+def _dot(ctx: SemContext):
+    """Global Euclidean dot on redundantly-stored dofs (1/multiplicity weight
+    makes the masked assembled operators self-adjoint in it)."""
+    return lambda a, b: glsum(ctx, a * b * ctx.multinv)
+
+
+def _pressure_solver(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
+    dot = _dot(ctx)
+
+    def amat(x):
+        return ctx.mask_p * dssum(ctx, weak_laplacian(ctx, x))
+
+    def precond(r):
+        return ctx.mask_p * r / ctx.diag_a
+
+    project = None
+    if not has_outflow:
+        def project(x):
+            # remove the constant nullspace (all-Neumann pressure problem)
+            return x - glsum(ctx, x * ctx.multinv) / ctx.nglobal
+
+    def solve(rhs):
+        return solve_spd_local(amat, rhs, dot, precond, cfg.ptol, cfg.pmaxit,
+                               project)
+
+    return solve
+
+
+def solve_spd_local(amat, rhs, dot, precond, rtol, maxiter, project=None):
+    from .cg import solve_spd
+    return solve_spd(amat, rhs, dot=dot, precond=precond, rtol=rtol,
+                     maxiter=maxiter, project=project)
+
+
+def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
+    """Returns step(case, state, ab, eb) -> (state', ncur) — one nonlinear
+    NS time step; ab/eb are the BDF/EXT coefficient rows for this step."""
+    nu = cfg.nu
+    dt = cfg.dt
+    dot = _dot(ctx)
+    psolve = _pressure_solver(ctx, cfg, has_outflow)
+
+    def helm_local(w, g0):
+        return (g0 / dt) * ctx.bm * w + nu * weak_laplacian(ctx, w)
+
+    def step(case: CaseFields, state: NSState, ab, eb):
+        # explicit term N(u^n) = -(u.grad)u + f + sponge
+        u = state.u
+        ncur = (-convect(ctx, u, u) + case.f
+                + case.sponge * (case.sponge_ref - u))
+        uhat = (ab[1] * u + ab[2] * state.ulag[0] + ab[3] * state.ulag[1]
+                + dt * (eb[0] * ncur + eb[1] * state.nlag[0]
+                        + eb[2] * state.nlag[1]))
+        g0 = ab[0]
+
+        # incremental pressure Poisson
+        rhs_dp = ctx.mask_p * dssum(
+            ctx, weak_div(ctx, uhat[0], uhat[1]) / dt
+            - weak_laplacian(ctx, state.p))
+        dp = psolve(rhs_dp)
+        p = state.p + dp
+        px, py = grad(ctx, p)
+        gradp = jnp.stack([px, py])
+
+        # viscous Helmholtz with Dirichlet lifting
+        u_b = (1.0 - ctx.mask_vel) * case.u_bc
+
+        def hmat(x):
+            return ctx.mask_vel * dssum(ctx, helm_local(x, g0))
+
+        def hprecond(r):
+            return ctx.mask_vel * r / ((g0 / dt) * ctx.bm_assembled
+                                       + nu * ctx.diag_a)
+
+        rhs_v = ctx.mask_vel * dssum(
+            ctx, ctx.bm * (uhat / dt - gradp) - helm_local(u_b, g0))
+        u0 = solve_spd_local(hmat, rhs_v, dot, hprecond, cfg.vtol, cfg.vmaxit)
+        unew = u0 + u_b
+
+        new_state = NSState(u=unew, p=p,
+                            ulag=jnp.stack([u, state.ulag[0]]),
+                            nlag=jnp.stack([ncur, state.nlag[0]]))
+        return new_state, ncur
+
+    return step
+
+
+def make_advance(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
+                 nsteps: int, collect: bool = False):
+    """Returns advance(case, state) -> (state', aux): nsteps of the nonlinear
+    stepper under lax.scan. aux = per-step kinetic energy; with collect=True
+    additionally the full velocity trajectory (orbit storage for Floquet/UPO,
+    reference core/matvec.f:200-236)."""
+    step = make_step(ctx, cfg, has_outflow)
+    ab_seq, eb_seq = timestep_coeffs(nsteps, cfg.torder, np.float64)
+    ab_seq = jnp.asarray(ab_seq, ctx.dtype)
+    eb_seq = jnp.asarray(eb_seq, ctx.dtype)
+
+    def advance(case: CaseFields, state: NSState):
+        def body(st, coeffs):
+            ab, eb = coeffs
+            new_state, _ = step(case, st, ab, eb)
+            energy = 0.5 * glsc3(ctx, new_state.u, ctx.bm, new_state.u)
+            out = (energy, new_state.u) if collect else energy
+            return new_state, out
+
+        return lax.scan(body, state, (ab_seq, eb_seq))
+
+    return advance
