@@ -1,11 +1,13 @@
 from .arnoldi import ArnoldiSpace, arnoldi_factorization
-from .eigensolve import eig_hessenberg, krylov_schur, power_iteration
+from .eigensolve import (eig_hessenberg, krylov_schur, log_transform,
+                         power_iteration)
 from .gmres import gmres
 from .newton import newton_krylov
-from .fixed_point import sfd, boostconv, BoostConvState
+from .fixed_point import (BoostConvState, StabilizerResult, boostconv, sfd,
+                          sfd_params, tdf)
 
 __all__ = [
     "ArnoldiSpace", "arnoldi_factorization", "eig_hessenberg", "krylov_schur",
-    "power_iteration", "gmres", "newton_krylov", "sfd", "boostconv",
-    "BoostConvState",
+    "log_transform", "power_iteration", "gmres", "newton_krylov", "sfd",
+    "sfd_params", "boostconv", "tdf", "BoostConvState", "StabilizerResult",
 ]

@@ -122,6 +122,11 @@ def arnoldi_factorization(space: ArnoldiSpace, Q, H: np.ndarray, mstart: int,
     return Q, float(beta)
 
 
+def _basis_prefix(Q, k: int):
+    """First k slots of a stacked basis."""
+    return jax.tree.map(lambda x: x[:k], Q)
+
+
 def Q_len(Q) -> int:
     return jax.tree.leaves(Q)[0].shape[0]
 

@@ -17,7 +17,7 @@ import scipy.linalg
 
 from ..config import ArnoldiConfig
 from .arnoldi import (ArnoldiSpace, arnoldi_factorization, tree_alloc,
-                      tree_combine, tree_get, tree_set)
+                      tree_combine, tree_get, tree_set, _basis_prefix)
 
 
 def eig_hessenberg(Hk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -63,14 +63,11 @@ class KrylovSchurResult:
         """Real/imag parts of Ritz vector i as vectors in the Krylov space."""
         c = self.evecs_coeffs[:, i]
         k = self.evecs_coeffs.shape[0]
-        re = tree_combine(_basis_slice(self.Q, k), np.ascontiguousarray(c.real))
-        im = tree_combine(_basis_slice(self.Q, k), np.ascontiguousarray(c.imag))
+        re = tree_combine(_basis_prefix(self.Q, k), np.ascontiguousarray(c.real))
+        im = tree_combine(_basis_prefix(self.Q, k), np.ascontiguousarray(c.imag))
         return re, im
 
 
-def _basis_slice(Q, k):
-    import jax
-    return jax.tree.map(lambda x: x[:k], Q)
 
 
 def krylov_schur(space: ArnoldiSpace, v0, cfg: ArnoldiConfig,
@@ -117,7 +114,7 @@ def krylov_schur(space: ArnoldiSpace, v0, cfg: ArnoldiConfig,
             T, Z = scipy.linalg.schur(Hk)  # no sort; keep leading by order
         # rotate basis: Q[:m] <- Q[:k] Z[:, :m]; keep residual vector at slot m
         bnew = H[k, k - 1] * Z[k - 1, :m]
-        Qk = _basis_slice(Q, k)
+        Qk = _basis_prefix(Q, k)
         Qrot = tree_combine(Qk, np.ascontiguousarray(Z[:, :m]))
         resid_vec = tree_get(Q, k)
         import jax

@@ -1,0 +1,187 @@
+"""High-level driver: wires mesh + config + case into stability operators.
+
+The TPU-native replacement for the reference's `nekStab()` mode dispatcher
+(core/usr_extra.f:134-242) — but inverted (SURVEY.md §1): the framework owns
+the time loop; a case is data (mesh, config, CaseFields) and the analyses are
+function calls:
+
+    sys = FlowSystem(mesh, cfg, case, sponge_fun=...)
+    bf  = sys.newton_base_flow(q0, tau=1.0)              # uparam 2.0
+    res = krylov_schur(sys.direct_space(bf, nsteps), v0, acfg)   # 3.1
+    res = krylov_schur(sys.adjoint_space(bf, nsteps), v0, acfg)  # 3.2
+    res = krylov_schur(sys.transient_growth_space(...), ...)     # 3.3
+
+All heavy operators are jitted once per (nsteps) and cached.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import NSConfig
+from .mesh import Mesh2D
+from .ops.context import SemContext, make_context
+from .ops.gather_scatter import glsc3
+from .solver.linearized import (make_adjoint_propagator,
+                                make_linear_propagator)
+from .solver.stepper import (CaseFields, NSState, initial_state, make_advance,
+                             timestep_coeffs, zero_case_fields)
+from .algorithms.arnoldi import ArnoldiSpace
+from .algorithms.newton import NewtonResult, newton_krylov
+
+
+class FlowSystem:
+    """A discretized flow problem plus cached jitted propagators."""
+
+    def __init__(self, mesh: Mesh2D, cfg: NSConfig, case: CaseFields | None,
+                 *, dtype=jnp.float64, axis_name: str | None = None,
+                 sponge_fun: np.ndarray | None = None,
+                 sponge_strength: float = 0.0):
+        self.mesh = mesh
+        self.cfg = cfg
+        self.ctx: SemContext = make_context(mesh, dtype=dtype,
+                                            axis_name=axis_name,
+                                            sponge_ramp=sponge_fun)
+        # unit-strength ramp for the linearized equations
+        # (core/utils.f:174-177: perturbation sponge strength always 1)
+        if sponge_fun is None:
+            self.sponge_fun = jnp.zeros_like(self.ctx.bm)
+        else:
+            self.sponge_fun = jnp.asarray(sponge_fun, self.ctx.dtype)
+        self.sponge_strength = sponge_strength
+        self.case = case if case is not None else zero_case_fields(self.ctx)
+        if sponge_strength != 0.0 and case is not None:
+            # nonlinear sponge term strength*ramp*(u_ref - u)
+            self.case = dataclasses.replace(
+                case, sponge=sponge_strength * self.sponge_fun)
+        self._cache = {}
+
+    # ------------------------------------------------------------------
+    # inner product (mass-weighted, sponge-masked — the reference's
+    # krylov_inner_product over bm1s, core/krylov_subspace.f:24-56)
+    # ------------------------------------------------------------------
+    @property
+    def dot(self):
+        ctx = self.ctx
+        return lambda a, b: glsc3(ctx, a, ctx.bm_eig, b)
+
+    @property
+    def dot_full(self):
+        """Full-mass inner product (no sponge masking)."""
+        ctx = self.ctx
+        return lambda a, b: glsc3(ctx, a, ctx.bm, b)
+
+    # ------------------------------------------------------------------
+    # propagators
+    # ------------------------------------------------------------------
+    def _get(self, key, builder):
+        if key not in self._cache:
+            self._cache[key] = builder()
+        return self._cache[key]
+
+    def nonlinear_advance(self, nsteps: int, collect: bool = False):
+        """Jitted nonlinear advance: (case, state) -> (state', aux)."""
+        return self._get(("adv", nsteps, collect), lambda: jax.jit(
+            make_advance(self.ctx, self.cfg, self.mesh.has_outflow, nsteps,
+                         collect=collect)))
+
+    def linear_propagator(self, nsteps: int):
+        return self._get(("lin", nsteps), lambda: jax.jit(
+            make_linear_propagator(self.ctx, self.cfg,
+                                   self.mesh.has_outflow, nsteps)))
+
+    def adjoint_propagator(self, nsteps: int):
+        return self._get(("adj", nsteps), lambda: jax.jit(
+            make_adjoint_propagator(self.ctx, self.cfg,
+                                    self.mesh.has_outflow, nsteps)))
+
+    # ------------------------------------------------------------------
+    # Arnoldi operator spaces (uparam 3.x dispatch, core/matvec.f:124-151)
+    # ------------------------------------------------------------------
+    def direct_space(self, base_u, nsteps: int) -> ArnoldiSpace:
+        prop = self.linear_propagator(nsteps)
+        sp = self.sponge_fun
+        return ArnoldiSpace(matvec=lambda v: prop(base_u, sp, v)[0],
+                            dot=self.dot)
+
+    def adjoint_space(self, base_u, nsteps: int) -> ArnoldiSpace:
+        adj = self.adjoint_propagator(nsteps)
+        sp = self.sponge_fun
+        return ArnoldiSpace(matvec=lambda v: adj(base_u, sp, v)[0],
+                            dot=self.dot)
+
+    def transient_growth_space(self, base_u, nsteps: int) -> ArnoldiSpace:
+        """Direct-adjoint composition exp(tau L)* exp(tau L): optimal-gain
+        (transient growth) eigenproblem (transient_growth_map,
+        core/matvec.f:332-349)."""
+        prop = self.linear_propagator(nsteps)
+        adj = self.adjoint_propagator(nsteps)
+        sp = self.sponge_fun
+
+        def matvec(v):
+            w, _ = prop(base_u, sp, v)
+            return adj(base_u, sp, w)[0]
+
+        return ArnoldiSpace(matvec=matvec, dot=self.dot_full)
+
+    # ------------------------------------------------------------------
+    # Newton-Krylov base flow (uparam 2.0; core/newton_krylov.f:5-167)
+    # ------------------------------------------------------------------
+    def newton_base_flow(self, u0, tau: float | None = None,
+                         nsteps: int | None = None, tol: float = 1e-9,
+                         k_dim: int = 64, maxiter: int = 30,
+                         exact_jacobian: bool = True,
+                         logger=print) -> NewtonResult:
+        """Solve Phi_tau(q) - q = 0 for a steady state.
+
+        exact_jacobian=True differentiates the nonlinear propagator with
+        jax.jvp (exact Jacobian along the trajectory); False freezes the base
+        flow like the reference's newton_linearized_map (core/matvec.f:381-475).
+        """
+        if nsteps is None:
+            nsteps = int(round(tau / self.cfg.dt))
+        adv = self.nonlinear_advance(nsteps)
+        ctx, case = self.ctx, self.case
+
+        def phi(q):
+            st, _ = adv(case, initial_state(ctx, q))
+            return st.u
+
+        def residual(q):
+            return phi(q) - q
+
+        if exact_jacobian:
+            resid_jit = self._get(("newton_res", nsteps),
+                                  lambda: jax.jit(residual))
+
+            def jac_mv(q):
+                jvp_fn = self._get(
+                    ("newton_jvp", nsteps),
+                    lambda: jax.jit(
+                        lambda qq, v: jax.jvp(residual, (qq,), (v,))[1]))
+                return partial(jvp_fn, q)
+        else:
+            prop = self.linear_propagator(nsteps)
+            sp = self.sponge_fun
+            resid_jit = self._get(("newton_res", nsteps),
+                                  lambda: jax.jit(residual))
+
+            def jac_mv(q):
+                return lambda v: prop(q, sp, v)[0] - v
+
+        return newton_krylov(resid_jit, jac_mv, self.dot_full, u0, tol=tol,
+                             maxiter=maxiter, k_dim=k_dim, logger=logger)
+
+    # ------------------------------------------------------------------
+    def steady_state_from(self, u_fn) -> jnp.ndarray:
+        """Velocity field (2,E,n,n) from a function (x, y) -> (u, v)."""
+        x, y = np.asarray(self.ctx.xcoord), np.asarray(self.ctx.ycoord)
+        u, v = u_fn(x, y)
+        return jnp.asarray(np.stack([np.broadcast_to(u, x.shape),
+                                     np.broadcast_to(v, x.shape)]),
+                           self.ctx.dtype)

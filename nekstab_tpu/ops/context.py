@@ -27,7 +27,8 @@ from ..quadrature import make_basis
 @partial(jax.tree_util.register_dataclass,
          data_fields=["D", "rx", "ry", "sx", "sy", "jac", "bm", "bm_assembled",
                       "g11", "g12", "g22", "diag_a", "mask_vel", "mask_p",
-                      "multinv", "xcoord", "ycoord", "bm_eig", "gid"],
+                      "multinv", "maskg_vel", "maskg_p", "diag_ag", "bmg",
+                      "xcoord", "ycoord", "bm_eig", "gid"],
          meta_fields=["n", "nelem", "nglobal", "axis_name"])
 @dataclasses.dataclass(frozen=True)
 class SemContext:
@@ -54,6 +55,14 @@ class SemContext:
     mask_p: jnp.ndarray       # (E, n, n) pressure mask (0 at outflow)
     multinv: jnp.ndarray      # 1 / dof multiplicity
     gid: jnp.ndarray          # (E, n, n) int32 global dof ids
+    # global (assembled) vectors, shape (nglobal,) or (2, nglobal) — the
+    # implicit solves run on these: A_g = scatter o A_local o gather is
+    # Euclidean-symmetric, which makes custom_linear_solve(symmetric=True)
+    # transpose exactly (the key to the machine-precision discrete adjoint)
+    maskg_vel: jnp.ndarray    # (2, nglobal) velocity Dirichlet masks
+    maskg_p: jnp.ndarray      # (nglobal,)
+    diag_ag: jnp.ndarray      # (nglobal,) assembled weak-Laplacian diagonal
+    bmg: jnp.ndarray          # (nglobal,) assembled mass diagonal
     xcoord: jnp.ndarray
     ycoord: jnp.ndarray
     bm_eig: jnp.ndarray       # inner-product weight (bm, zeroed in sponge zone
@@ -108,6 +117,21 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
     bm_assembled = _np_dssum(mesh.gid, g["bm"], mesh.nglobal)
     diag_a = _np_dssum(mesh.gid, g["diag_local"], mesh.nglobal)
     mask_vel = np.stack([mesh.mask_u, mesh.mask_v])
+
+    def to_global(a):
+        gg = np.zeros(mesh.nglobal)
+        np.add.at(gg, mesh.gid.ravel(), a.ravel())
+        return gg
+
+    def min_global(a):
+        gg = np.full(mesh.nglobal, np.inf)
+        np.minimum.at(gg, mesh.gid.ravel(), a.ravel())
+        return gg
+
+    maskg_vel = np.stack([min_global(mesh.mask_u), min_global(mesh.mask_v)])
+    maskg_p = min_global(mesh.mask_p)
+    diag_ag = to_global(g["diag_local"])
+    bmg = to_global(g["bm"])
     bm_eig = g["bm"].copy()
     if sponge_ramp is not None:
         bm_eig[sponge_ramp > 0] = 0.0
@@ -121,4 +145,6 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
         bm_assembled=dev(bm_assembled), g11=dev(g["g11"]), g12=dev(g["g12"]),
         g22=dev(g["g22"]), diag_a=dev(diag_a), mask_vel=dev(mask_vel),
         mask_p=dev(mesh.mask_p), multinv=dev(1.0 / mesh.mult),
+        maskg_vel=dev(maskg_vel), maskg_p=dev(maskg_p),
+        diag_ag=dev(diag_ag), bmg=dev(bmg),
         xcoord=dev(mesh.x), ycoord=dev(mesh.y), bm_eig=dev(bm_eig))

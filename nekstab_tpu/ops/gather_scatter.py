@@ -32,6 +32,18 @@ def _assemble_global(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
     return g
 
 
+def assemble(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
+    """Assemble local functionals into the global dof vector (..., nglobal):
+    the Q^T (scatter-add) half of direct stiffness. Transpose of `scatter`."""
+    return _assemble_global(ctx, u)
+
+
+def scatter(ctx: SemContext, g: jnp.ndarray) -> jnp.ndarray:
+    """Gather a global dof vector back to element-local layout (..., E, n, n):
+    the Q (copy) half of direct stiffness. Transpose of `assemble`."""
+    return g[..., ctx.gid]
+
+
 def dssum(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
     """Direct-stiffness sum: duplicated dofs receive the sum over all copies."""
     g = _assemble_global(ctx, u)

@@ -32,9 +32,9 @@ from jax import lax
 
 from ..config import NSConfig
 from ..ops.context import SemContext
-from ..ops.gather_scatter import dssum
+from ..ops.gather_scatter import assemble, dssum, scatter
 from ..ops.tensorprod import grad, weak_div, weak_laplacian
-from .stepper import (NSState, _dot, _pressure_solver, convect,
+from .stepper import (NSState, _gdot, _pressure_solver, convect,
                       solve_spd_local, timestep_coeffs)
 
 
@@ -43,7 +43,6 @@ def make_linear_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
     pstate (an NSState of the perturbation)."""
     nu = cfg.nu
     dt = cfg.dt
-    dot = _dot(ctx)
     psolve = _pressure_solver(ctx, cfg, has_outflow)
 
     def helm_local(w, g0):
@@ -60,24 +59,26 @@ def make_linear_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
                         + eb[2] * state.nlag[1]))
         g0 = ab[0]
 
-        rhs_dp = ctx.mask_p * dssum(
-            ctx, weak_div(ctx, uhat[0], uhat[1]) / dt
-            - weak_laplacian(ctx, state.p))
-        dp = psolve(rhs_dp)
+        dp = psolve(weak_div(ctx, uhat[0], uhat[1]) / dt
+                    - weak_laplacian(ctx, state.p))
         p = state.p + dp
         px, py = grad(ctx, p)
         gradp = jnp.stack([px, py])
 
-        def hmat(x):
-            return ctx.mask_vel * dssum(ctx, helm_local(x, g0))
+        def hmat(g):
+            gl = scatter(ctx, ctx.maskg_vel * g)
+            return ctx.maskg_vel * assemble(ctx, helm_local(gl, g0))
 
         def hprecond(r):
-            return ctx.mask_vel * r / ((g0 / dt) * ctx.bm_assembled
-                                       + nu * ctx.diag_a)
+            return ctx.maskg_vel * r / ((g0 / dt) * ctx.bmg + nu * ctx.diag_ag)
 
-        rhs_v = ctx.mask_vel * dssum(ctx, ctx.bm * (uhat / dt - gradp))
-        unew = solve_spd_local(hmat, rhs_v, dot, hprecond, cfg.vtol,
-                               cfg.vmaxit)
+        def hproject(g):
+            return ctx.maskg_vel * g
+
+        rhs_v = ctx.maskg_vel * assemble(ctx, ctx.bm * (uhat / dt - gradp))
+        ug = solve_spd_local(hmat, rhs_v, _gdot, hprecond, cfg.vtol,
+                             cfg.vmaxit, hproject)
+        unew = scatter(ctx, ctx.maskg_vel * ug)
 
         return NSState(u=unew, p=p,
                        ulag=jnp.stack([u, state.ulag[0]]),

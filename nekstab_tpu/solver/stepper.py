@@ -33,7 +33,7 @@ from jax import lax
 
 from ..config import NSConfig
 from ..ops.context import SemContext
-from ..ops.gather_scatter import dssum, glsum, glsc3
+from ..ops.gather_scatter import assemble, scatter, glsc3
 from ..ops.tensorprod import grad, weak_div, weak_laplacian
 
 # BDF rows [gamma0, a1, a2, a3] and EXT rows [b1, b2, b3], order 1..3
@@ -94,30 +94,41 @@ def convect(ctx: SemContext, c: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     return c[0] * gx + c[1] * gy
 
 
-def _dot(ctx: SemContext):
-    """Global Euclidean dot on redundantly-stored dofs (1/multiplicity weight
-    makes the masked assembled operators self-adjoint in it)."""
-    return lambda a, b: glsum(ctx, a * b * ctx.multinv)
+def _gdot(a, b):
+    """Euclidean dot on (replicated) global dof vectors. No psum: after
+    `assemble` every shard holds the identical full global vector."""
+    return jnp.vdot(a, b)
 
 
 def _pressure_solver(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
-    dot = _dot(ctx)
+    """Pressure Poisson solve on the assembled global dof vector.
 
-    def amat(x):
-        return ctx.mask_p * dssum(ctx, weak_laplacian(ctx, x))
+    The operator A_g = mask o scatter^T o A_local o scatter o mask is
+    Euclidean-symmetric, so lax.custom_linear_solve(symmetric=True) transposes
+    it exactly — required for the machine-precision discrete adjoint. Takes a
+    *local* rhs functional, returns the solution as a local field."""
+
+    def amat(g):
+        gl = scatter(ctx, ctx.maskg_p * g)
+        return ctx.maskg_p * assemble(ctx, weak_laplacian(ctx, gl))
 
     def precond(r):
-        return ctx.mask_p * r / ctx.diag_a
+        return ctx.maskg_p * r / ctx.diag_ag
 
-    project = None
-    if not has_outflow:
-        def project(x):
-            # remove the constant nullspace (all-Neumann pressure problem)
-            return x - glsum(ctx, x * ctx.multinv) / ctx.nglobal
+    if has_outflow:
+        def project(g):
+            return ctx.maskg_p * g
+    else:
+        def project(g):
+            # remove the constant nullspace (all-Neumann pressure problem);
+            # uniform mean on global dofs — a symmetric projector
+            return g - jnp.sum(g) / ctx.nglobal
 
-    def solve(rhs):
-        return solve_spd_local(amat, rhs, dot, precond, cfg.ptol, cfg.pmaxit,
-                               project)
+    def solve(rhs_local):
+        rhs = project(assemble(ctx, rhs_local))
+        g = solve_spd_local(amat, rhs, _gdot, precond, cfg.ptol, cfg.pmaxit,
+                            project)
+        return scatter(ctx, ctx.maskg_p * g)
 
     return solve
 
@@ -129,49 +140,54 @@ def solve_spd_local(amat, rhs, dot, precond, rtol, maxiter, project=None):
 
 
 def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
-    """Returns step(case, state, ab, eb) -> (state', ncur) — one nonlinear
-    NS time step; ab/eb are the BDF/EXT coefficient rows for this step."""
+    """Returns step(case, state, ab, eb, fextra=None) -> (state', ncur) — one
+    nonlinear NS time step; ab/eb are the BDF/EXT coefficient rows for this
+    step; fextra is an optional extra body force (SFD/TDF/BoostConv feedback,
+    the nekStab_forcing hook of the reference, core/utils.f:149-180)."""
     nu = cfg.nu
     dt = cfg.dt
-    dot = _dot(ctx)
     psolve = _pressure_solver(ctx, cfg, has_outflow)
 
     def helm_local(w, g0):
         return (g0 / dt) * ctx.bm * w + nu * weak_laplacian(ctx, w)
 
-    def step(case: CaseFields, state: NSState, ab, eb):
+    def step(case: CaseFields, state: NSState, ab, eb, fextra=None):
         # explicit term N(u^n) = -(u.grad)u + f + sponge
         u = state.u
         ncur = (-convect(ctx, u, u) + case.f
                 + case.sponge * (case.sponge_ref - u))
+        if fextra is not None:
+            ncur = ncur + fextra
         uhat = (ab[1] * u + ab[2] * state.ulag[0] + ab[3] * state.ulag[1]
                 + dt * (eb[0] * ncur + eb[1] * state.nlag[0]
                         + eb[2] * state.nlag[1]))
         g0 = ab[0]
 
         # incremental pressure Poisson
-        rhs_dp = ctx.mask_p * dssum(
-            ctx, weak_div(ctx, uhat[0], uhat[1]) / dt
-            - weak_laplacian(ctx, state.p))
-        dp = psolve(rhs_dp)
+        dp = psolve(weak_div(ctx, uhat[0], uhat[1]) / dt
+                    - weak_laplacian(ctx, state.p))
         p = state.p + dp
         px, py = grad(ctx, p)
         gradp = jnp.stack([px, py])
 
-        # viscous Helmholtz with Dirichlet lifting
+        # viscous Helmholtz with Dirichlet lifting, on global dof vectors
         u_b = (1.0 - ctx.mask_vel) * case.u_bc
 
-        def hmat(x):
-            return ctx.mask_vel * dssum(ctx, helm_local(x, g0))
+        def hmat(g):
+            gl = scatter(ctx, ctx.maskg_vel * g)
+            return ctx.maskg_vel * assemble(ctx, helm_local(gl, g0))
 
         def hprecond(r):
-            return ctx.mask_vel * r / ((g0 / dt) * ctx.bm_assembled
-                                       + nu * ctx.diag_a)
+            return ctx.maskg_vel * r / ((g0 / dt) * ctx.bmg + nu * ctx.diag_ag)
 
-        rhs_v = ctx.mask_vel * dssum(
+        def hproject(g):
+            return ctx.maskg_vel * g
+
+        rhs_v = ctx.maskg_vel * assemble(
             ctx, ctx.bm * (uhat / dt - gradp) - helm_local(u_b, g0))
-        u0 = solve_spd_local(hmat, rhs_v, dot, hprecond, cfg.vtol, cfg.vmaxit)
-        unew = u0 + u_b
+        ug = solve_spd_local(hmat, rhs_v, _gdot, hprecond, cfg.vtol,
+                             cfg.vmaxit, hproject)
+        unew = scatter(ctx, ctx.maskg_vel * ug) + u_b
 
         new_state = NSState(u=unew, p=p,
                             ulag=jnp.stack([u, state.ulag[0]]),

@@ -1,0 +1,151 @@
+"""Property tests of the operator-agnostic algorithm layer on small dense
+operators (SURVEY.md §4: Arnoldi residual identity, GMRES vs dense solve)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nekstab_tpu.algorithms.arnoldi import (ArnoldiSpace,
+                                            arnoldi_factorization, tree_alloc,
+                                            tree_set)
+from nekstab_tpu.algorithms.eigensolve import krylov_schur, power_iteration
+from nekstab_tpu.algorithms.gmres import gmres
+from nekstab_tpu.algorithms.newton import newton_krylov
+from nekstab_tpu.config import ArnoldiConfig
+
+
+def _dense_space(A):
+    Aj = jnp.asarray(A)
+    return ArnoldiSpace(matvec=lambda v: Aj @ v,
+                        dot=lambda a, b: jnp.vdot(a, b))
+
+
+def test_arnoldi_identity():
+    rng = np.random.default_rng(0)
+    n, k = 12, 8
+    A = rng.normal(size=(n, n))
+    space = _dense_space(A)
+    v0 = jnp.asarray(rng.normal(size=n))
+    v0, _ = space.normalize(v0)
+    Q = tree_alloc(v0, k + 1)
+    Q = tree_set(Q, 0, v0)
+    H = np.zeros((k + 1, k))
+    Q, beta = arnoldi_factorization(space, Q, H, 1, k)
+    Qk = np.asarray(Q)[:k].T          # (n, k)
+    qk1 = np.asarray(Q)[k]
+    # A Q_k = Q_k H_k + beta q_{k+1} e_k^T
+    lhs = A @ Qk
+    rhs = Qk @ H[:k, :k]
+    rhs[:, -1] += H[k, k - 1] * qk1
+    assert np.allclose(lhs, rhs, atol=1e-10)
+    # orthonormal basis (CGS2)
+    G = np.asarray(Q)[: k + 1] @ np.asarray(Q)[: k + 1].T
+    assert np.allclose(G, np.eye(k + 1), atol=1e-12)
+    assert beta == pytest.approx(H[k, k - 1])
+
+
+def _matrix_with_spectrum():
+    """Nonsymmetric matrix with known leading complex pair + real eigs."""
+    rng = np.random.default_rng(1)
+    n = 24
+    blocks = [np.array([[0.9, 0.55], [-0.55, 0.9]])]  # |lam| ~ 1.054
+    vals = [0.95, -0.8, 0.6, 0.5]
+    D = np.zeros((n, n))
+    D[:2, :2] = blocks[0]
+    for i, v in enumerate(vals):
+        D[2 + i, 2 + i] = v
+    D[6:, 6:] = np.diag(rng.uniform(-0.3, 0.3, n - 6))
+    V = rng.normal(size=(n, n))
+    A = V @ D @ np.linalg.inv(V)
+    return A
+
+
+def test_krylov_schur_dense():
+    A = _matrix_with_spectrum()
+    exact = np.linalg.eigvals(A)
+    exact = exact[np.argsort(-np.abs(exact))]
+    space = _dense_space(A)
+    rng = np.random.default_rng(2)
+    v0 = jnp.asarray(rng.normal(size=A.shape[0]))
+    cfg = ArnoldiConfig(k_dim=14, eigen_tol=1e-9, schur_tgt=4, maxmodes=6,
+                        max_restarts=40)
+    res = krylov_schur(space, v0, cfg, logger=lambda *a, **k: None)
+    assert res.converged
+    got = res.evals[np.argsort(-np.abs(res.evals))][:4]
+    for g, e in zip(got, exact[:4]):
+        assert abs(g - e) < 1e-7, (got[:4], exact[:4])
+
+
+def test_krylov_schur_one_shot():
+    A = _matrix_with_spectrum()
+    exact = np.linalg.eigvals(A)
+    exact = exact[np.argsort(-np.abs(exact))]
+    space = _dense_space(A)
+    v0 = jnp.asarray(np.random.default_rng(3).normal(size=A.shape[0]))
+    cfg = ArnoldiConfig(k_dim=24, eigen_tol=1e-8, schur_tgt=0)
+    res = krylov_schur(space, v0, cfg, logger=lambda *a, **k: None)
+    got = res.evals[np.argsort(-np.abs(res.evals))][:2]
+    assert np.allclose(np.sort_complex(got), np.sort_complex(exact[:2]),
+                       atol=1e-7)
+
+
+def test_gmres_vs_dense():
+    rng = np.random.default_rng(4)
+    n = 30
+    A = np.eye(n) + 0.1 * rng.normal(size=(n, n))
+    b = rng.normal(size=n)
+    space = _dense_space(A)
+    x, info = gmres(space, jnp.asarray(b), ksize=15, rtol=1e-10,
+                    max_outer=20, logger=lambda *a, **k: None)
+    assert info["converged"]
+    assert np.allclose(np.asarray(x), np.linalg.solve(A, b), atol=1e-8)
+
+
+def test_gmres_restarted_with_x0():
+    rng = np.random.default_rng(5)
+    n = 20
+    A = np.eye(n) + 0.1 * rng.normal(size=(n, n))
+    b = rng.normal(size=n)
+    x0 = jnp.asarray(rng.normal(size=n))
+    space = _dense_space(A)
+    x, info = gmres(space, jnp.asarray(b), ksize=5, x0=x0, rtol=1e-9,
+                    max_outer=30, logger=lambda *a, **k: None)
+    assert info["converged"]
+    assert np.allclose(np.asarray(x), np.linalg.solve(A, b), atol=1e-7)
+
+
+def test_newton_krylov_small():
+    # fixed point of Phi(q) = 0.3*tanh(M q) + c  -> F(q) = Phi(q) - q
+    rng = np.random.default_rng(6)
+    n = 8
+    M = jnp.asarray(rng.normal(size=(n, n)))
+    c = jnp.asarray(rng.normal(size=n))
+
+    def phi(q):
+        return 0.3 * jnp.tanh(M @ q) + c
+
+    def residual(q):
+        return phi(q) - q
+
+    def jac_mv(q):
+        import jax
+        return lambda v: jax.jvp(residual, (q,), (v,))[1]
+
+    res = newton_krylov(residual, jac_mv, lambda a, b: jnp.vdot(a, b),
+                        jnp.zeros(n), tol=1e-12, maxiter=20, k_dim=8,
+                        logger=lambda *a, **k: None)
+    assert res.converged
+    assert np.allclose(np.asarray(phi(res.q)), np.asarray(res.q), atol=1e-11)
+
+
+def test_power_iteration():
+    rng = np.random.default_rng(7)
+    n = 16
+    A = rng.normal(size=(n, n))
+    A = A + A.T  # symmetric: power iteration converges to dominant
+    lam_exact = np.linalg.eigvalsh(A)
+    dom = lam_exact[np.argmax(np.abs(lam_exact))]
+    space = _dense_space(A)
+    lam, v = power_iteration(space, jnp.asarray(rng.normal(size=n)),
+                             nsteps=200, logger=lambda *a, **k: None)
+    assert lam == pytest.approx(dom, rel=1e-6)
