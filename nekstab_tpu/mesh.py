@@ -122,6 +122,10 @@ class Mesh2D:
     mask_p: np.ndarray         # (E, n, n) 0.0 where pressure pinned (outflow)
     has_outflow: bool
     bc_faces: list[BoundaryFace] = field(default_factory=list)
+    # surface-quadrature outward-normal weights on Dirichlet faces:
+    # sum(q * (bwn[0] u + bwn[1] v)) = boundary integral of (u,v).n q over
+    # all 'V'/'W' faces — the g_n term of the pressure-Poisson weak form
+    bwn: np.ndarray | None = None
 
     @property
     def shape(self) -> tuple[int, int, int]:
@@ -230,9 +234,58 @@ def build_mesh(n: int, corners: np.ndarray,
     mask_v = _scatter_min(gid, mask_v, nglobal)
     mask_p = _scatter_min(gid, mask_p, nglobal)
 
+    # surface-quadrature normal weights on Dirichlet faces (per-node
+    # w_1d * ds * outward normal; nodes on two faces accumulate both)
+    bwn = np.zeros((2, nelem, n, n))
+    for f in bc_faces:
+        if f.tag not in DIRICHLET_TAGS:
+            continue
+        idx = face_index(f.face, n)
+        xf = x[f.elem][idx]
+        yf = y[f.elem][idx]
+        tx = basis.D @ xf
+        ty = basis.D @ yf
+        ds = np.hypot(tx, ty)
+        nx, ny = ty / ds, -tx / ds
+        # orient outward (match the straight-edge normal estimate)
+        if nx.mean() * f.normal[0] + ny.mean() * f.normal[1] < 0:
+            nx, ny = -nx, -ny
+        bwn[0][f.elem][idx] += basis.w * ds * nx
+        bwn[1][f.elem][idx] += basis.w * ds * ny
+
     return Mesh2D(n=n, nelem=nelem, x=x, y=y, gid=gid, nglobal=nglobal,
                   mult=mult, mask_u=mask_u, mask_v=mask_v, mask_p=mask_p,
-                  has_outflow=has_outflow, bc_faces=bc_faces)
+                  has_outflow=has_outflow, bc_faces=bc_faces, bwn=bwn)
+
+
+def dirichlet_values(mesh: Mesh2D, tag_values: dict) -> np.ndarray:
+    """Velocity Dirichlet value field (2, E, n, n) from per-tag callables
+    {tag: fn(x, y) -> (u, v)} evaluated on each tagged boundary face
+    (the userbc callback analog, SURVEY.md §2.3)."""
+    vals = np.zeros((2,) + mesh.shape)
+    was_set = np.zeros(mesh.shape, dtype=bool)
+    for f in mesh.bc_faces:
+        fn = tag_values.get(f.tag)
+        if fn is None:
+            continue
+        idx = face_index(f.face, mesh.n)
+        xf = mesh.x[f.elem][idx]
+        yf = mesh.y[f.elem][idx]
+        u, v = fn(xf, yf)
+        vals[0][f.elem][idx] = u
+        vals[1][f.elem][idx] = v
+        was_set[f.elem][idx] = True
+    # propagate to ALL copies of each global dof (a masked dof can live in an
+    # element with no boundary face; its copy must carry the same value or the
+    # Dirichlet lifting field would be discontinuous)
+    cnt = np.zeros(mesh.nglobal)
+    np.add.at(cnt, mesh.gid[was_set], 1.0)
+    for c in range(2):
+        s = np.zeros(mesh.nglobal)
+        np.add.at(s, mesh.gid[was_set], vals[c][was_set])
+        avg = s / np.maximum(cnt, 1.0)
+        vals[c] = avg[mesh.gid]
+    return vals
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,6 @@
+from .cylinder import cylinder_mesh, cylinder_system
+from .cavity import cavity_system
+from .channel import channel_system
+
+__all__ = ["cylinder_mesh", "cylinder_system", "cavity_system",
+           "channel_system"]

@@ -1,0 +1,39 @@
+"""Regularized lid-driven cavity (enclosed flow, no sponge/outflow).
+
+Reference configs: lid-driven cavity linear stability (direct + adjoint +
+structural sensitivity) is one of the driver benchmark configs
+(BASELINE.json). The lid velocity is regularized, u(x) = 16 x^2 (1-x)^2, so
+the corner singularities of the sharp lid do not pollute spectral convergence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import NSConfig
+from ..driver import FlowSystem
+from ..mesh import box_mesh, dirichlet_values
+from ..solver.stepper import CaseFields
+
+
+def cavity_system(n: int = 7, nel: int = 6, re: float = 1000.0,
+                  dt: float = 2e-3, *, dtype=jnp.float64,
+                  vtol: float = 1e-10, ptol: float = 1e-9,
+                  axis_name: str | None = None) -> FlowSystem:
+    mesh = box_mesh(n, nel, nel, 0.0, 1.0, 0.0, 1.0,
+                    bc_fn=lambda x, y, nrm: "V")
+    cfg = NSConfig(re=re, dt=dt, vtol=vtol, ptol=ptol)
+    sys = FlowSystem(mesh, cfg, None, dtype=dtype, axis_name=axis_name)
+    ctx = sys.ctx
+
+    def lid(x, y):
+        on_lid = np.isclose(y, 1.0)
+        return np.where(on_lid, 16.0 * x ** 2 * (1 - x) ** 2, 0.0), \
+            np.zeros_like(x)
+
+    u_bc = jnp.asarray(dirichlet_values(mesh, {"V": lid}), ctx.dtype)
+    z2 = jnp.zeros_like(u_bc)
+    sys.case = CaseFields(u_bc=u_bc, f=z2, sponge=jnp.zeros_like(ctx.bm),
+                          sponge_ref=z2)
+    return sys

@@ -1,0 +1,141 @@
+"""Circular-cylinder flow: mesh generator + FlowSystem builder.
+
+The flagship benchmark case (reference examples/cylinder/*): uniform inflow
+past a D=1 cylinder; at Re=50 the steady base flow's leading global mode is
+sigma = 1.567373e-2, omega = +/- 7.565285e-1 (BASELINE.md, reference
+Spectre_NSd_conv.dat). The reference mesh is a 1996-element Nek5000 .re2
+(not reproducible bit-for-bit); this generator builds an equivalent-topology
+curvilinear mesh: an O-grid ring (circular-arc inner faces) blended to a
+square, embedded in a graded Cartesian frame with a refined wake band.
+
+Default domain and sponge follow the reference case: x in [-15, 35],
+y in [-15, 15], sponge widths 5 on the x-extremes, strength 1.7
+(examples/cylinder/stability/direct/1cyl.par:8-11).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import NSConfig
+from ..driver import FlowSystem
+from ..mesh import Mesh2D, build_mesh, dirichlet_values, _grade
+from ..solver.stepper import CaseFields, zero_case_fields
+from ..utils.sponge import sponge_fun_box
+
+import jax.numpy as jnp
+
+
+def _ring_vertices(radius: float, a: float, nq: int, n_ring: int,
+                   ring_ratio: float):
+    """Vertices of the O-grid between circle r=radius and square [-a,a]^2.
+
+    Returns (pts (4nq, n_ring+1, 2), thetas): boundary walk CCW starting at
+    angle -135deg (SW corner), square side split into nq segments."""
+    s = np.linspace(-a, a, nq + 1)
+    bnd = []
+    # CCW starting at SW corner (-a,-a): south, east, north, west
+    for i in range(nq):                      # south: y=-a, x rising
+        bnd.append((s[i], -a))
+    for i in range(nq):                      # east: x=a, y rising
+        bnd.append((a, s[i]))
+    for i in range(nq):                      # north: y=a, x falling
+        bnd.append((s[nq - i], a))
+    for i in range(nq):                      # west: x=-a, y falling
+        bnd.append((-a, s[nq - i]))
+    bnd = np.array(bnd)                      # (4nq, 2)
+    th = np.arctan2(bnd[:, 1], bnd[:, 0])
+    circ = radius * np.stack([np.cos(th), np.sin(th)], axis=1)
+    t = _grade(0.0, 1.0, n_ring, ring_ratio)
+    pts = circ[:, None, :] + t[None, :, None] * (bnd - circ)[:, None, :]
+    return pts
+
+
+def cylinder_mesh(n: int = 6, *, radius: float = 0.5, a: float = 2.5,
+                  xmin: float = -15.0, xmax: float = 35.0,
+                  ymin: float = -15.0, ymax: float = 15.0,
+                  nq: int = 8, n_ring: int = 5, ring_ratio: float = 4.0,
+                  nx_left: int = 5, nx_right: int = 16, ny_side: int = 5,
+                  grade_left: float = 0.2, grade_right: float = 5.0,
+                  grade_side: float = 5.0) -> Mesh2D:
+    """O-grid + Cartesian frame cylinder mesh.
+
+    nq: elements per square side (ring has 4*nq*n_ring elements);
+    grade_*: geometric cell-size ratio across each outer band (small cells
+    toward the cylinder/wake axis)."""
+    ring = _ring_vertices(radius, a, nq, n_ring, ring_ratio)
+    npts = 4 * nq
+    corners = []
+    curves = {}
+    e = 0
+    for i in range(npts):
+        ip = (i + 1) % npts
+        for j in range(n_ring):
+            c0 = ring[i, j]
+            c1 = ring[ip, j]
+            c2 = ring[ip, j + 1]
+            c3 = ring[i, j + 1]
+            corners.append([c0, c1, c2, c3])
+            if j == 0:
+                curves[(e, "S")] = ("arc", 0.0, 0.0)
+            e += 1
+
+    # Cartesian frame around the square
+    s = np.linspace(-a, a, nq + 1)
+    xl = _grade(xmin, -a, nx_left, grade_left)
+    xr = _grade(a, xmax, nx_right, grade_right)
+    yb = _grade(ymin, -a, ny_side, 1.0 / grade_side)
+    yt = _grade(a, ymax, ny_side, grade_side)
+    xlines = np.concatenate([xl[:-1], s, xr[1:]])
+    ylines = np.concatenate([yb[:-1], s, yt[1:]])
+    for jy in range(len(ylines) - 1):
+        for ix in range(len(xlines) - 1):
+            x0, x1 = xlines[ix], xlines[ix + 1]
+            y0, y1 = ylines[jy], ylines[jy + 1]
+            xm, ym = (x0 + x1) / 2, (y0 + y1) / 2
+            if abs(xm) < a and abs(ym) < a:
+                continue          # inside the O-grid square
+            corners.append([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+            e += 1
+
+    def bc(x, y, nrm):
+        if np.isclose(x, xmax):
+            return "O"
+        if np.isclose(x, xmin) or np.isclose(y, ymax) or np.isclose(y, ymin):
+            return "V"
+        return "W"               # cylinder surface
+
+    return build_mesh(n, np.asarray(corners), curves=curves, bc_fn=bc)
+
+
+def cylinder_system(n: int = 6, re: float = 50.0, dt: float = 2.5e-3,
+                    *, sponge_xl: float = 5.0, sponge_xr: float = 5.0,
+                    sponge_strength: float = 1.7, dtype=jnp.float64,
+                    vtol: float = 1e-9, ptol: float = 1e-7,
+                    axis_name: str | None = None,
+                    **mesh_kw) -> FlowSystem:
+    """FlowSystem for the cylinder benchmark (freestream u=(1,0), outflow at
+    x=xmax, box sponge at the x-extremes as the reference case)."""
+    mesh = cylinder_mesh(n, **mesh_kw)
+    cfg = NSConfig(re=re, dt=dt, vtol=vtol, ptol=ptol)
+    spng = sponge_fun_box(mesh.x, mesh.y, xl=sponge_xl, xr=sponge_xr)
+    sys = FlowSystem(mesh, cfg, None, dtype=dtype, axis_name=axis_name,
+                     sponge_fun=spng, sponge_strength=sponge_strength)
+    ctx = sys.ctx
+    u_bc = jnp.asarray(dirichlet_values(
+        mesh, {"V": lambda x, y: (np.ones_like(x), np.zeros_like(x))}),
+        ctx.dtype)
+    ones = jnp.ones_like(ctx.bm)
+    u_inf = jnp.stack([ones, jnp.zeros_like(ctx.bm)])
+    sys.case = CaseFields(u_bc=u_bc, f=jnp.zeros_like(u_inf),
+                          sponge=sponge_strength * sys.sponge_fun,
+                          sponge_ref=u_inf)
+    return sys
+
+
+def freestream_ic(sys: FlowSystem):
+    """Uniform (1,0) initial condition respecting the Dirichlet BCs."""
+    ctx = sys.ctx
+    ones = jnp.ones_like(ctx.bm)
+    u = jnp.stack([ones, jnp.zeros_like(ctx.bm)])
+    return ctx.mask_vel * u + (1 - ctx.mask_vel) * sys.case.u_bc

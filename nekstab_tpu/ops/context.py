@@ -28,7 +28,8 @@ from ..quadrature import make_basis
          data_fields=["D", "rx", "ry", "sx", "sy", "jac", "bm", "bm_assembled",
                       "g11", "g12", "g22", "diag_a", "mask_vel", "mask_p",
                       "multinv", "maskg_vel", "maskg_p", "diag_ag", "bmg",
-                      "xcoord", "ycoord", "bm_eig", "gid"],
+                      "xcoord", "ycoord", "bm_eig", "gid", "p_schwarz",
+                      "p_coarse", "bwn"],
          meta_fields=["n", "nelem", "nglobal", "axis_name"])
 @dataclasses.dataclass(frozen=True)
 class SemContext:
@@ -67,6 +68,10 @@ class SemContext:
     ycoord: jnp.ndarray
     bm_eig: jnp.ndarray       # inner-product weight (bm, zeroed in sponge zone
                               #  — the reference's bm1s, core/usr_extra.f:104-128)
+    # two-level Schwarz pressure preconditioner (ops/precond.py), or None
+    p_schwarz: jnp.ndarray | None   # (E, n^2, n^2) element pseudo-inverses
+    p_coarse: jnp.ndarray | None    # (E, E) coarse-space inverse
+    bwn: jnp.ndarray          # (2, E, n, n) Dirichlet-face normal weights
 
     @property
     def dtype(self):
@@ -109,7 +114,8 @@ def _np_dssum(gid: np.ndarray, u: np.ndarray, nglobal: int) -> np.ndarray:
 
 
 def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
-                 sponge_ramp: np.ndarray | None = None) -> SemContext:
+                 sponge_ramp: np.ndarray | None = None,
+                 pressure_precond: bool = True) -> SemContext:
     """Build the device context. `sponge_ramp` (E,n,n, >=0) marks the sponge
     zone; the eigensolver inner-product weight bm_eig is zeroed wherever the
     ramp is active (reference: bm1s, core/usr_extra.f:104-128)."""
@@ -136,6 +142,12 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
     if sponge_ramp is not None:
         bm_eig[sponge_ramp > 0] = 0.0
     dev = lambda a: jnp.asarray(a, dtype=dtype)
+
+    p_schwarz = p_coarse = None
+    if pressure_precond:
+        from .precond import build_pressure_precond
+        ps, pc = build_pressure_precond(mesh, g, g["D"])
+        p_schwarz, p_coarse = dev(ps), dev(pc)
     return SemContext(
         n=mesh.n, nelem=mesh.nelem, nglobal=mesh.nglobal,
         gid=jnp.asarray(mesh.gid, dtype=jnp.int32),
@@ -147,4 +159,7 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
         mask_p=dev(mesh.mask_p), multinv=dev(1.0 / mesh.mult),
         maskg_vel=dev(maskg_vel), maskg_p=dev(maskg_p),
         diag_ag=dev(diag_ag), bmg=dev(bmg),
+        p_schwarz=p_schwarz, p_coarse=p_coarse,
+        bwn=dev(mesh.bwn if mesh.bwn is not None
+                else np.zeros((2,) + mesh.x.shape)),
         xcoord=dev(mesh.x), ycoord=dev(mesh.y), bm_eig=dev(bm_eig))

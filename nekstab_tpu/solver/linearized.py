@@ -34,7 +34,7 @@ from ..config import NSConfig
 from ..ops.context import SemContext
 from ..ops.gather_scatter import assemble, dssum, scatter
 from ..ops.tensorprod import grad, weak_div, weak_laplacian
-from .stepper import (NSState, _gdot, _pressure_solver, convect,
+from .stepper import (NSState, _gdot, _pressure_solver, convect, curl_curl,
                       solve_spd_local, timestep_coeffs)
 
 
@@ -59,7 +59,12 @@ def make_linear_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
                         + eb[2] * state.nlag[1]))
         g0 = ab[0]
 
-        dp = psolve(weak_div(ctx, uhat[0], uhat[1]) / dt
+        # rotational pressure-BC term, linearized (u_bc' = 0 so no g_n flux)
+        cc = curl_curl(ctx, u)
+        cc_ext = (eb[0] * cc + eb[1] * state.cclag[0]
+                  + eb[2] * state.cclag[1])
+        brot = nu * (ctx.bwn[0] * cc_ext[0] + ctx.bwn[1] * cc_ext[1])
+        dp = psolve(weak_div(ctx, uhat[0], uhat[1]) / dt - brot
                     - weak_laplacian(ctx, state.p))
         p = state.p + dp
         px, py = grad(ctx, p)
@@ -82,7 +87,8 @@ def make_linear_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
 
         return NSState(u=unew, p=p,
                        ulag=jnp.stack([u, state.ulag[0]]),
-                       nlag=jnp.stack([ncur, state.nlag[0]]))
+                       nlag=jnp.stack([ncur, state.nlag[0]]),
+                       cclag=jnp.stack([cc, state.cclag[0]]))
 
     return lstep
 
@@ -107,8 +113,9 @@ def make_linear_propagator(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
         floquet = base_u.ndim == 5
         if p0 is None:
             p0 = jnp.zeros_like(ctx.bm)
+        z = jnp.zeros((2,) + u0.shape, u0.dtype)
         state = NSState(u=u0, p=p0, ulag=jnp.stack([u0, u0]),
-                        nlag=jnp.zeros((2,) + u0.shape, u0.dtype))
+                        nlag=z, cclag=z)
 
         def body(st, xs):
             if floquet:

@@ -79,13 +79,23 @@ class NSState(NamedTuple):
     p: jnp.ndarray      # (E, n, n)
     ulag: jnp.ndarray   # (2, 2, E, n, n) previous velocities [n-1, n-2]
     nlag: jnp.ndarray   # (2, 2, E, n, n) previous explicit terms
+    cclag: jnp.ndarray  # (2, 2, E, n, n) previous curl-curl terms (KIO91
+                        # rotational pressure BC, extrapolated like nlag)
 
 
 def initial_state(ctx: SemContext, u0: jnp.ndarray,
                   p0: jnp.ndarray | None = None) -> NSState:
     p0 = jnp.zeros_like(ctx.bm) if p0 is None else p0
-    return NSState(u=u0, p=p0, ulag=jnp.stack([u0, u0]),
-                   nlag=jnp.zeros((2,) + u0.shape, u0.dtype))
+    z = jnp.zeros((2,) + u0.shape, u0.dtype)
+    return NSState(u=u0, p=p0, ulag=jnp.stack([u0, u0]), nlag=z, cclag=z)
+
+
+def curl_curl(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
+    """curl(curl u) = (d omega/dy, -d omega/dx), omega = v_x - u_y (2D).
+    Only its trace on Dirichlet faces enters (rotational pressure BC)."""
+    om = grad(ctx, u[1])[0] - grad(ctx, u[0])[1]
+    omx, omy = grad(ctx, om)
+    return jnp.stack([omy, -omx])
 
 
 def convect(ctx: SemContext, c: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
@@ -112,8 +122,22 @@ def _pressure_solver(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
         gl = scatter(ctx, ctx.maskg_p * g)
         return ctx.maskg_p * assemble(ctx, weak_laplacian(ctx, gl))
 
-    def precond(r):
-        return ctx.maskg_p * r / ctx.diag_ag
+    if ctx.p_schwarz is not None:
+        nn = ctx.n * ctx.n
+        mloc = ctx.multinv.reshape(ctx.nelem, nn)
+
+        def precond(r):
+            # two-level additive Schwarz (ops/precond.py): batched element
+            # pseudo-inverse solves + element-constant coarse correction
+            rl = scatter(ctx, r).reshape(ctx.nelem, nn) * mloc
+            ze = jnp.einsum("eab,eb->ea", ctx.p_schwarz, rl)
+            zc = ctx.p_coarse @ jnp.sum(rl, axis=1)
+            zl = (ze + zc[:, None]) * mloc
+            z = assemble(ctx, zl.reshape(ctx.bm.shape))
+            return ctx.maskg_p * z
+    else:
+        def precond(r):
+            return ctx.maskg_p * r / ctx.diag_ag
 
     if has_outflow:
         def project(g):
@@ -163,9 +187,18 @@ def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
                         + eb[2] * state.nlag[1]))
         g0 = ab[0]
 
-        # incremental pressure Poisson
-        dp = psolve(weak_div(ctx, uhat[0], uhat[1]) / dt
-                    - weak_laplacian(ctx, state.p))
+        # incremental pressure Poisson; the g0*(u_bc.n) surface term imposes
+        # the prescribed normal velocity on the projected field (essential for
+        # inflow/through-flow), and the extrapolated nu*(curl curl u).n term
+        # is the KIO91 rotational pressure BC (kills the O(nu) splitting
+        # boundary error of the non-rotational form)
+        cc = curl_curl(ctx, u)
+        cc_ext = (eb[0] * cc + eb[1] * state.cclag[0]
+                  + eb[2] * state.cclag[1])
+        bflux = ctx.bwn[0] * case.u_bc[0] + ctx.bwn[1] * case.u_bc[1]
+        brot = nu * (ctx.bwn[0] * cc_ext[0] + ctx.bwn[1] * cc_ext[1])
+        dp = psolve((weak_div(ctx, uhat[0], uhat[1]) - g0 * bflux) / dt
+                    - brot - weak_laplacian(ctx, state.p))
         p = state.p + dp
         px, py = grad(ctx, p)
         gradp = jnp.stack([px, py])
@@ -191,7 +224,8 @@ def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
 
         new_state = NSState(u=unew, p=p,
                             ulag=jnp.stack([u, state.ulag[0]]),
-                            nlag=jnp.stack([ncur, state.nlag[0]]))
+                            nlag=jnp.stack([ncur, state.nlag[0]]),
+                            cclag=jnp.stack([cc, state.cclag[0]]))
         return new_state, ncur
 
     return step
