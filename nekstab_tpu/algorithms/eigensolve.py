@@ -72,19 +72,31 @@ class KrylovSchurResult:
 
 def krylov_schur(space: ArnoldiSpace, v0, cfg: ArnoldiConfig,
                  callback: Callable | None = None,
+                 resume: tuple | None = None,
                  logger: Callable = print) -> KrylovSchurResult:
     """Arnoldi with Krylov-Schur restarts until `schur_tgt` Ritz pairs of the
     propagator converge below `eigen_tol` (one-shot if schur_tgt <= 0).
 
     v0: start vector pytree (noise/seed — reference core/eigensolvers.f:216-263).
+    resume: optional (Q, H, mstart) from io.checkpoint.load_arnoldi — continue
+    a checkpointed factorization at column mstart+1 (the reference's
+    uparam(2)-restart path, core/eigensolvers.f:284-325).
     """
     k = cfg.k_dim
     dtype = np.float64
-    v0n, _ = space.normalize(v0)
-    Q = tree_alloc(v0n, k + 1)
-    Q = tree_set(Q, 0, v0n)
-    H = np.zeros((k + 1, k), dtype=dtype)
-    mstart = 1
+    if resume is not None:
+        Qr, Hr, mdone = resume
+        import jax.numpy as _jnp
+        Q = _jnp.asarray(Qr)
+        H = np.zeros((k + 1, k), dtype=dtype)
+        H[:Hr.shape[0], :Hr.shape[1]] = Hr
+        mstart = mdone + 1
+    else:
+        v0n, _ = space.normalize(v0)
+        Q = tree_alloc(v0n, k + 1)
+        Q = tree_set(Q, 0, v0n)
+        H = np.zeros((k + 1, k), dtype=dtype)
+        mstart = 1
     history = []
     for outer in range(1, cfg.max_restarts + 1):
         Q, beta = arnoldi_factorization(space, Q, H, mstart, k,

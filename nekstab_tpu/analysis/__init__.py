@@ -1,0 +1,14 @@
+from .postproc import (vorticity, q_criterion, delta_criterion,
+                       swirling_strength, omega_criterion, kinetic_energy,
+                       enstrophy, energy_budget, RunningStats, drag_lift,
+                       ZeroCrossing)
+from .sensitivity import (biorthogonalize, wavemaker, bf_sensitivity,
+                          steady_force_sensitivity, delta_forcing)
+
+__all__ = [
+    "vorticity", "q_criterion", "delta_criterion", "swirling_strength",
+    "omega_criterion", "kinetic_energy", "enstrophy", "energy_budget",
+    "RunningStats", "drag_lift", "ZeroCrossing",
+    "biorthogonalize", "wavemaker", "bf_sensitivity",
+    "steady_force_sensitivity", "delta_forcing",
+]

@@ -234,15 +234,27 @@ def build_mesh(n: int, corners: np.ndarray,
     mask_v = _scatter_min(gid, mask_v, nglobal)
     mask_p = _scatter_min(gid, mask_p, nglobal)
 
-    # surface-quadrature normal weights on Dirichlet faces (per-node
-    # w_1d * ds * outward normal; nodes on two faces accumulate both)
-    bwn = np.zeros((2, nelem, n, n))
-    for f in bc_faces:
-        if f.tag not in DIRICHLET_TAGS:
+    mesh = Mesh2D(n=n, nelem=nelem, x=x, y=y, gid=gid, nglobal=nglobal,
+                  mult=mult, mask_u=mask_u, mask_v=mask_v, mask_p=mask_p,
+                  has_outflow=has_outflow, bc_faces=bc_faces)
+    mesh.bwn = surface_weights(mesh, DIRICHLET_TAGS)
+    return mesh
+
+
+def surface_weights(mesh: "Mesh2D", tags) -> np.ndarray:
+    """Per-node surface-quadrature outward-normal weights (2, E, n, n) over
+    the boundary faces with the given tags: sum(q * (w[0] u + w[1] v)) is the
+    surface integral of (u,v).n q. Nodes on two tagged faces accumulate both
+    contributions."""
+    basis = make_basis(mesh.n)
+    n = mesh.n
+    bwn = np.zeros((2, mesh.nelem, n, n))
+    for f in mesh.bc_faces:
+        if f.tag not in tags:
             continue
         idx = face_index(f.face, n)
-        xf = x[f.elem][idx]
-        yf = y[f.elem][idx]
+        xf = mesh.x[f.elem][idx]
+        yf = mesh.y[f.elem][idx]
         tx = basis.D @ xf
         ty = basis.D @ yf
         ds = np.hypot(tx, ty)
@@ -252,10 +264,7 @@ def build_mesh(n: int, corners: np.ndarray,
             nx, ny = -nx, -ny
         bwn[0][f.elem][idx] += basis.w * ds * nx
         bwn[1][f.elem][idx] += basis.w * ds * ny
-
-    return Mesh2D(n=n, nelem=nelem, x=x, y=y, gid=gid, nglobal=nglobal,
-                  mult=mult, mask_u=mask_u, mask_v=mask_v, mask_p=mask_p,
-                  has_outflow=has_outflow, bc_faces=bc_faces, bwn=bwn)
+    return bwn
 
 
 def dirichlet_values(mesh: Mesh2D, tag_values: dict) -> np.ndarray:

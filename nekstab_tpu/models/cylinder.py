@@ -71,13 +71,16 @@ def cylinder_mesh(n: int = 6, *, radius: float = 0.5, a: float = 2.5,
     for i in range(npts):
         ip = (i + 1) % npts
         for j in range(n_ring):
+            # CCW quad: walking the ring CCW, (tangent, outward) is
+            # negatively oriented, so order (inner_i, outer_i, outer_ip,
+            # inner_ip); the cylinder arc is then the W face (c0 -> c3)
             c0 = ring[i, j]
-            c1 = ring[ip, j]
+            c1 = ring[i, j + 1]
             c2 = ring[ip, j + 1]
-            c3 = ring[i, j + 1]
+            c3 = ring[ip, j]
             corners.append([c0, c1, c2, c3])
             if j == 0:
-                curves[(e, "S")] = ("arc", 0.0, 0.0)
+                curves[(e, "W")] = ("arc", 0.0, 0.0)
             e += 1
 
     # Cartesian frame around the square

@@ -29,6 +29,9 @@ def _assemble_global(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
     g = jnp.moveaxis(seg, 0, -1)
     if ctx.axis_name is not None:
         g = lax.psum(g, ctx.axis_name)
+        # re-mark as device-varying so downstream mixes with sharded arrays
+        # satisfy shard_map's VMA checking (the value is in fact replicated)
+        g = lax.pvary(g, ctx.axis_name)
     return g
 
 

@@ -34,8 +34,8 @@ from ..config import NSConfig
 from ..ops.context import SemContext
 from ..ops.gather_scatter import assemble, dssum, scatter
 from ..ops.tensorprod import grad, weak_div, weak_laplacian
-from .stepper import (NSState, _gdot, _pressure_solver, convect, curl_curl,
-                      solve_spd_local, timestep_coeffs)
+from .stepper import (NSState, _gdot, _pressure_solver, _pvary_globals,
+                      convect, curl_curl, solve_spd_local, timestep_coeffs)
 
 
 def make_linear_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
@@ -43,17 +43,20 @@ def make_linear_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
     pstate (an NSState of the perturbation)."""
     nu = cfg.nu
     dt = cfg.dt
+    ctx = _pvary_globals(ctx)
     psolve = _pressure_solver(ctx, cfg, has_outflow)
 
     def helm_local(w, g0):
         return (g0 / dt) * ctx.bm * w + nu * weak_laplacian(ctx, w)
 
-    def lstep(base_u, sponge, state: NSState, ab, eb):
+    def lstep(base_u, sponge, state: NSState, ab, eb, fextra=None):
         u = state.u
         # linearized advection + sponge damping (forcing hook analog of
         # nekStab_forcing's perturbation branch, core/utils.f:149-180)
         ncur = (-convect(ctx, base_u, u) - convect(ctx, u, base_u)
                 - sponge * u)
+        if fextra is not None:
+            ncur = ncur + fextra
         uhat = (ab[1] * u + ab[2] * state.ulag[0] + ab[3] * state.ulag[1]
                 + dt * (eb[0] * ncur + eb[1] * state.nlag[0]
                         + eb[2] * state.nlag[1]))
@@ -151,3 +154,46 @@ def make_adjoint_propagator(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
         return u_adj, jnp.zeros_like(ctx.bm)
 
     return adj
+
+
+def make_forced_response(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
+                         nsteps: int):
+    """resp(base_u, sponge, f) = perturbation velocity after nsteps of the
+    linearized equations with zero IC and *steady* body force f: the discrete
+    int_0^tau exp((tau-s)L) f ds (reference feeds fcx each step,
+    initialize_rhs_ts_steady_force_sensitivity, core/sensitivity.f:380-422)."""
+    lstep = make_linear_step(ctx, cfg, has_outflow)
+    ab_seq, eb_seq = _coeff_seqs(ctx, cfg, nsteps)
+
+    def resp(base_u, sponge, f):
+        z = jnp.zeros((2,) + ctx.bm.shape, f.dtype)
+        zz = jnp.zeros((2,) + z.shape, f.dtype)
+        state = NSState(u=z, p=jnp.zeros_like(ctx.bm), ulag=zz, nlag=zz,
+                        cclag=zz)
+
+        def body(st, xs):
+            ab, eb = xs
+            return lstep(base_u, sponge, st, ab, eb, fextra=f), None
+
+        final, _ = lax.scan(body, state, (ab_seq, eb_seq))
+        return final.u
+
+    return resp
+
+
+def make_adjoint_forced_response(ctx: SemContext, cfg: NSConfig,
+                                 has_outflow: bool, nsteps: int):
+    """aresp(base_u, sponge, w) = the B-adjoint of the steady-forcing
+    response: int_0^tau exp((tau-s) L^dagger) w ds — used as the rhs of the
+    steady-force-sensitivity solve (reference core/sensitivity.f:296-369)."""
+    resp = make_forced_response(ctx, cfg, has_outflow, nsteps)
+
+    def aresp(base_u, sponge, w):
+        def fwd(f):
+            return resp(base_u, sponge, f)
+
+        transpose = jax.linear_transpose(fwd, jnp.zeros_like(w))
+        (g,) = transpose(ctx.bm * w)
+        return dssum(ctx, g) / ctx.bm_assembled
+
+    return aresp

@@ -110,6 +110,18 @@ def _gdot(a, b):
     return jnp.vdot(a, b)
 
 
+def _pvary_globals(ctx: SemContext) -> SemContext:
+    """Mark the replicated global-vector context arrays as device-varying
+    under shard_map so they mix cleanly with sharded values (no-op single
+    device; the arrays really are replicated)."""
+    if ctx.axis_name is None:
+        return ctx
+    pv = lambda x: lax.pvary(x, ctx.axis_name)
+    return dataclasses.replace(ctx, maskg_vel=pv(ctx.maskg_vel),
+                               maskg_p=pv(ctx.maskg_p),
+                               diag_ag=pv(ctx.diag_ag), bmg=pv(ctx.bmg))
+
+
 def _pressure_solver(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
     """Pressure Poisson solve on the assembled global dof vector.
 
@@ -124,14 +136,20 @@ def _pressure_solver(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
 
     if ctx.p_schwarz is not None:
         nn = ctx.n * ctx.n
-        mloc = ctx.multinv.reshape(ctx.nelem, nn)
+        # shapes derived from the (possibly shard-local) arrays, not metadata
+        mloc = ctx.multinv.reshape(-1, nn)
 
         def precond(r):
             # two-level additive Schwarz (ops/precond.py): batched element
             # pseudo-inverse solves + element-constant coarse correction
-            rl = scatter(ctx, r).reshape(ctx.nelem, nn) * mloc
+            rl = scatter(ctx, r).reshape(-1, nn) * mloc
             ze = jnp.einsum("eab,eb->ea", ctx.p_schwarz, rl)
-            zc = ctx.p_coarse @ jnp.sum(rl, axis=1)
+            rc = jnp.sum(rl, axis=1)
+            if ctx.axis_name is not None:
+                # coarse residual over ALL elements; p_coarse rows are
+                # element-sharded, so the product stays shard-local
+                rc = jax.lax.all_gather(rc, ctx.axis_name, tiled=True)
+            zc = ctx.p_coarse @ rc
             zl = (ze + zc[:, None]) * mloc
             z = assemble(ctx, zl.reshape(ctx.bm.shape))
             return ctx.maskg_p * z
@@ -170,6 +188,7 @@ def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
     the nekStab_forcing hook of the reference, core/utils.f:149-180)."""
     nu = cfg.nu
     dt = cfg.dt
+    ctx = _pvary_globals(ctx)
     psolve = _pressure_solver(ctx, cfg, has_outflow)
 
     def helm_local(w, g0):

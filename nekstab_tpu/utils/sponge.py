@@ -18,7 +18,8 @@ def step_smooth(x: np.ndarray) -> np.ndarray:
     """Smooth step: 0 for x<=0, 1 for x>=1, C-infinity ramp between
     (mth_stepf, core/utils.f:330-342)."""
     x = np.clip(x, 1e-3, 0.999)
-    val = 1.0 / (1.0 + np.exp(1.0 / (x - 1.0) + 1.0 / x))
+    arg = np.clip(1.0 / (x - 1.0) + 1.0 / x, -500.0, 500.0)
+    val = 1.0 / (1.0 + np.exp(arg))
     return np.where(x <= 1e-3, 0.0, np.where(x >= 0.999, 1.0, val))
 
 
