@@ -28,8 +28,8 @@ from ..quadrature import make_basis
          data_fields=["D", "rx", "ry", "sx", "sy", "jac", "bm", "bm_assembled",
                       "g11", "g12", "g22", "diag_a", "mask_vel", "mask_p",
                       "multinv", "maskg_vel", "maskg_p", "diag_ag", "bmg",
-                      "xcoord", "ycoord", "bm_eig", "gid", "p_schwarz",
-                      "p_coarse", "bwn"],
+                      "xcoord", "ycoord", "bm_eig", "gid", "gid_flat",
+                      "gs_idx", "p_schwarz", "p_coarse", "bwn"],
          meta_fields=["n", "nelem", "nglobal", "axis_name"])
 @dataclasses.dataclass(frozen=True)
 class SemContext:
@@ -56,6 +56,8 @@ class SemContext:
     mask_p: jnp.ndarray       # (E, n, n) pressure mask (0 at outflow)
     multinv: jnp.ndarray      # 1 / dof multiplicity
     gid: jnp.ndarray          # (E, n, n) int32 global dof ids
+    gid_flat: jnp.ndarray     # (L,) flattened gid (gather-scatter primitive)
+    gs_idx: jnp.ndarray       # (nglobal, maxmult) copy table (ops/gslib.py)
     # global (assembled) vectors, shape (nglobal,) or (2, nglobal) — the
     # implicit solves run on these: A_g = scatter o A_local o gather is
     # Euclidean-symmetric, which makes custom_linear_solve(symmetric=True)
@@ -143,6 +145,9 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
         bm_eig[sponge_ramp > 0] = 0.0
     dev = lambda a: jnp.asarray(a, dtype=dtype)
 
+    from .gslib import build_gs_tables
+    gs_idx = build_gs_tables(mesh.gid, mesh.nglobal)
+
     p_schwarz = p_coarse = None
     if pressure_precond:
         from .precond import build_pressure_precond
@@ -151,6 +156,8 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
     return SemContext(
         n=mesh.n, nelem=mesh.nelem, nglobal=mesh.nglobal,
         gid=jnp.asarray(mesh.gid, dtype=jnp.int32),
+        gid_flat=jnp.asarray(mesh.gid.reshape(-1), dtype=jnp.int32),
+        gs_idx=jnp.asarray(gs_idx),
         axis_name=axis_name,
         D=dev(g["D"]), rx=dev(g["rx"]), ry=dev(g["ry"]), sx=dev(g["sx"]),
         sy=dev(g["sy"]), jac=dev(g["jac"]), bm=dev(g["bm"]),

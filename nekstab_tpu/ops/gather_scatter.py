@@ -17,16 +17,15 @@ import jax.numpy as jnp
 from jax import lax
 
 from .context import SemContext
+from .gslib import qcopy, qsum
 
 
 def _assemble_global(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
-    """Sum duplicated dofs into the global vector; u is (..., E, n, n)."""
+    """Sum duplicated dofs into the global vector; u is (..., E, n, n).
+    Gather-only (ops/gslib.py) — no XLA scatter in forward or transpose."""
     lead = u.shape[:-3]
     flat = u.reshape(lead + (-1,))
-    seg = jax.ops.segment_sum(
-        jnp.moveaxis(flat, -1, 0), ctx.gid.reshape(-1),
-        num_segments=ctx.nglobal)
-    g = jnp.moveaxis(seg, 0, -1)
+    g = qsum(flat, ctx.gs_idx, ctx.gid_flat)
     if ctx.axis_name is not None:
         g = lax.psum(g, ctx.axis_name)
         # re-mark as device-varying so downstream mixes with sharded arrays
@@ -44,13 +43,13 @@ def assemble(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
 def scatter(ctx: SemContext, g: jnp.ndarray) -> jnp.ndarray:
     """Gather a global dof vector back to element-local layout (..., E, n, n):
     the Q (copy) half of direct stiffness. Transpose of `assemble`."""
-    return g[..., ctx.gid]
+    loc = qcopy(g, ctx.gs_idx, ctx.gid_flat)
+    return loc.reshape(g.shape[:-1] + ctx.bm.shape[-3:])
 
 
 def dssum(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
     """Direct-stiffness sum: duplicated dofs receive the sum over all copies."""
-    g = _assemble_global(ctx, u)
-    return g[..., ctx.gid]
+    return scatter(ctx, _assemble_global(ctx, u))
 
 
 def dsavg(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:

@@ -50,6 +50,7 @@ def context_specs(ctx: SemContext, axis: str = "e") -> SemContext:
         g11=e3, g12=e3, g22=e3, diag_a=e3, mask_vel=c4, mask_p=e3,
         multinv=e3, maskg_vel=rep, maskg_p=rep, diag_ag=rep, bmg=rep,
         xcoord=e3, ycoord=e3, bm_eig=e3, gid=e3,
+        gid_flat=P(axis), gs_idx=rep,
         p_schwarz=None if ctx.p_schwarz is None else e3,
         p_coarse=None if ctx.p_coarse is None else e3,
         bwn=c4)
