@@ -187,14 +187,15 @@ def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
     step; fextra is an optional extra body force (SFD/TDF/BoostConv feedback,
     the nekStab_forcing hook of the reference, core/utils.f:149-180)."""
     nu = cfg.nu
-    dt = cfg.dt
     ctx = _pvary_globals(ctx)
     psolve = _pressure_solver(ctx, cfg, has_outflow)
 
-    def helm_local(w, g0):
+    def helm_local(w, g0, dt):
         return (g0 / dt) * ctx.bm * w + nu * weak_laplacian(ctx, w)
 
-    def step(case: CaseFields, state: NSState, ab, eb, fextra=None):
+    def step(case: CaseFields, state: NSState, ab, eb, fextra=None, dt=None):
+        if dt is None:
+            dt = cfg.dt
         # explicit term N(u^n) = -(u.grad)u + f + sponge
         u = state.u
         ncur = (-convect(ctx, u, u) + case.f
@@ -227,7 +228,7 @@ def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
 
         def hmat(g):
             gl = scatter(ctx, ctx.maskg_vel * g)
-            return ctx.maskg_vel * assemble(ctx, helm_local(gl, g0))
+            return ctx.maskg_vel * assemble(ctx, helm_local(gl, g0, dt))
 
         def hprecond(r):
             return ctx.maskg_vel * r / ((g0 / dt) * ctx.bmg + nu * ctx.diag_ag)
@@ -236,7 +237,7 @@ def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
             return ctx.maskg_vel * g
 
         rhs_v = ctx.maskg_vel * assemble(
-            ctx, ctx.bm * (uhat / dt - gradp) - helm_local(u_b, g0))
+            ctx, ctx.bm * (uhat / dt - gradp) - helm_local(u_b, g0, dt))
         ug = solve_spd_local(hmat, rhs_v, _gdot, hprecond, cfg.vtol,
                              cfg.vmaxit, hproject)
         unew = scatter(ctx, ctx.maskg_vel * ug) + u_b
@@ -267,6 +268,29 @@ def make_advance(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
             new_state, _ = step(case, st, ab, eb)
             energy = 0.5 * glsc3(ctx, new_state.u, ctx.bm, new_state.u)
             out = (energy, new_state.u) if collect else energy
+            return new_state, out
+
+        return lax.scan(body, state, (ab_seq, eb_seq))
+
+    return advance
+
+
+def make_advance_dt(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
+                    nsteps: int, collect: bool = False):
+    """Like make_advance but with the time step as a *traced* argument:
+    advance(case, state, dt) — used by the periodic-orbit Newton where the
+    period T = nsteps*dt is an unknown (reference UPO mode 2.1,
+    core/newton_krylov.f:79-88, core/matvec.f:381-475)."""
+    step = make_step(ctx, cfg, has_outflow)
+    ab_seq, eb_seq = timestep_coeffs(nsteps, cfg.torder, np.float64)
+    ab_seq = jnp.asarray(ab_seq, ctx.dtype)
+    eb_seq = jnp.asarray(eb_seq, ctx.dtype)
+
+    def advance(case: CaseFields, state: NSState, dt):
+        def body(st, coeffs):
+            ab, eb = coeffs
+            new_state, _ = step(case, st, ab, eb, dt=dt)
+            out = new_state.u if collect else None
             return new_state, out
 
         return lax.scan(body, state, (ab_seq, eb_seq))

@@ -149,3 +149,26 @@ def test_power_iteration():
     lam, v = power_iteration(space, jnp.asarray(rng.normal(size=n)),
                              nsteps=200, logger=lambda *a, **k: None)
     assert lam == pytest.approx(dom, rel=1e-6)
+
+
+def test_newton_upo_machinery():
+    # machinery smoke test on a tiny cavity: shapes, jvp-through-propagator,
+    # extended-vector GMRES (physics validation needs a real shedding orbit)
+    import jax.numpy as jnp
+    from nekstab_tpu.algorithms.upo import newton_upo
+    from nekstab_tpu.config import NSConfig
+    from nekstab_tpu.mesh import box_mesh
+    from nekstab_tpu.driver import FlowSystem
+    from nekstab_tpu.utils import add_noise
+
+    mesh = box_mesh(4, 2, 2, 0.0, 1.0, 0.0, 1.0, bc_fn=lambda x, y, n: "W")
+    cfg = NSConfig(re=100.0, dt=1e-2, vtol=1e-8, ptol=1e-7, vmaxit=60,
+                   pmaxit=80)
+    sys_ = FlowSystem(mesh, cfg, None)
+    u0 = add_noise(sys_.ctx, seed=5, amp=1e-3)
+    res = newton_upo(sys_, u0, T0=0.05, nsteps=5, tol=1e-30, maxiter=2,
+                     k_dim=6, logger=lambda *a, **k: None)
+    assert res.niter == 2
+    assert res.u.shape == u0.shape
+    assert np.isfinite(res.residuals).all()
+    assert res.period > 0
