@@ -44,9 +44,9 @@ class FlowSystem:
                  sponge_strength: float = 0.0):
         self.mesh = mesh
         self.cfg = cfg
-        self.ctx: SemContext = make_context(mesh, dtype=dtype,
-                                            axis_name=axis_name,
-                                            sponge_ramp=sponge_fun)
+        self.ctx: SemContext = make_context(
+            mesh, dtype=dtype, axis_name=axis_name, sponge_ramp=sponge_fun,
+            nscalars=1 if cfg.boussinesq else 0)
         # unit-strength ramp for the linearized equations
         # (core/utils.f:174-177: perturbation sponge strength always 1)
         if sponge_fun is None:

@@ -120,6 +120,7 @@ class Mesh2D:
     mask_u: np.ndarray         # (E, n, n) 1.0 free / 0.0 Dirichlet, x-velocity
     mask_v: np.ndarray         # (E, n, n) same, y-velocity
     mask_p: np.ndarray         # (E, n, n) 0.0 where pressure pinned (outflow)
+    mask_t: np.ndarray | None  # (E, n, n) scalar/temperature Dirichlet mask
     has_outflow: bool
     bc_faces: list[BoundaryFace] = field(default_factory=list)
     # surface-quadrature outward-normal weights on Dirichlet faces:
@@ -196,6 +197,7 @@ def build_mesh(n: int, corners: np.ndarray,
     mask_u = np.ones((nelem, n, n))
     mask_v = np.ones((nelem, n, n))
     mask_p = np.ones((nelem, n, n))
+    mask_t = np.ones((nelem, n, n))
     bc_faces: list[BoundaryFace] = []
     has_outflow = False
     for e, f, key in face_list:
@@ -218,6 +220,9 @@ def build_mesh(n: int, corners: np.ndarray,
         if tag in DIRICHLET_TAGS:
             mask_u[e][idx] = 0.0
             mask_v[e][idx] = 0.0
+            # scalar (temperature) Dirichlet on the same faces by default
+            # (insulated/Neumann scalar BCs: leave mask_t=1 via custom masks)
+            mask_t[e][idx] = 0.0
         elif tag == "O":
             has_outflow = True
             mask_p[e][idx] = 0.0
@@ -233,10 +238,11 @@ def build_mesh(n: int, corners: np.ndarray,
     mask_u = _scatter_min(gid, mask_u, nglobal)
     mask_v = _scatter_min(gid, mask_v, nglobal)
     mask_p = _scatter_min(gid, mask_p, nglobal)
+    mask_t = _scatter_min(gid, mask_t, nglobal)
 
     mesh = Mesh2D(n=n, nelem=nelem, x=x, y=y, gid=gid, nglobal=nglobal,
                   mult=mult, mask_u=mask_u, mask_v=mask_v, mask_p=mask_p,
-                  has_outflow=has_outflow, bc_faces=bc_faces)
+                  mask_t=mask_t, has_outflow=has_outflow, bc_faces=bc_faces)
     mesh.bwn = surface_weights(mesh, DIRICHLET_TAGS)
     return mesh
 
@@ -267,11 +273,13 @@ def surface_weights(mesh: "Mesh2D", tags) -> np.ndarray:
     return bwn
 
 
-def dirichlet_values(mesh: Mesh2D, tag_values: dict) -> np.ndarray:
-    """Velocity Dirichlet value field (2, E, n, n) from per-tag callables
-    {tag: fn(x, y) -> (u, v)} evaluated on each tagged boundary face
-    (the userbc callback analog, SURVEY.md §2.3)."""
-    vals = np.zeros((2,) + mesh.shape)
+def dirichlet_values(mesh: Mesh2D, tag_values: dict,
+                     ncomp: int = 2) -> np.ndarray:
+    """Dirichlet value field (ncomp, E, n, n) from per-tag callables
+    {tag: fn(x, y) -> (u, v[, theta, ...])} evaluated on each tagged boundary
+    face (the userbc callback analog, SURVEY.md §2.3). ncomp = 2 velocity
+    components plus any advected scalars (Boussinesq temperature)."""
+    vals = np.zeros((ncomp,) + mesh.shape)
     was_set = np.zeros(mesh.shape, dtype=bool)
     for f in mesh.bc_faces:
         fn = tag_values.get(f.tag)
@@ -280,16 +288,16 @@ def dirichlet_values(mesh: Mesh2D, tag_values: dict) -> np.ndarray:
         idx = face_index(f.face, mesh.n)
         xf = mesh.x[f.elem][idx]
         yf = mesh.y[f.elem][idx]
-        u, v = fn(xf, yf)
-        vals[0][f.elem][idx] = u
-        vals[1][f.elem][idx] = v
+        comps = fn(xf, yf)
+        for c in range(ncomp):
+            vals[c][f.elem][idx] = comps[c] if c < len(comps) else 0.0
         was_set[f.elem][idx] = True
     # propagate to ALL copies of each global dof (a masked dof can live in an
     # element with no boundary face; its copy must carry the same value or the
     # Dirichlet lifting field would be discontinuous)
     cnt = np.zeros(mesh.nglobal)
     np.add.at(cnt, mesh.gid[was_set], 1.0)
-    for c in range(2):
+    for c in range(ncomp):
         s = np.zeros(mesh.nglobal)
         np.add.at(s, mesh.gid[was_set], vals[c][was_set])
         avg = s / np.maximum(cnt, 1.0)
@@ -323,6 +331,34 @@ def box_corners(xv: np.ndarray, yv: np.ndarray) -> np.ndarray:
             corners[e] = [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
             e += 1
     return corners
+
+
+def annulus_mesh(n: int, r_in: float = 1.0, r_out: float = 2.0,
+                 n_theta: int = 32, n_r: int = 8,
+                 bc_fn: Callable | None = None) -> Mesh2D:
+    """Full annular ring (periodic in theta via coincident 0/2pi vertices);
+    all circumferential element edges are exact circular arcs. The reference
+    thermosyphon geometry (examples/thersyphon/baseflow/tsyphon.box: an
+    (r, theta) box with periodic theta)."""
+    th = np.linspace(0.0, 2 * np.pi, n_theta + 1)
+    rr = np.linspace(r_in, r_out, n_r + 1)
+    v = np.stack([rr[None, :] * np.cos(th[:, None]),
+                  rr[None, :] * np.sin(th[:, None])], axis=-1)  # (nt+1,nr+1,2)
+    corners = []
+    curves = {}
+    e = 0
+    for i in range(n_theta):
+        for j in range(n_r):
+            # CCW: (inner_i, outer_i, outer_{i+1}, inner_{i+1}) — W face is
+            # the inner arc, E face the outer arc (cf. models/cylinder.py)
+            corners.append([v[i, j], v[i, j + 1], v[i + 1, j + 1],
+                            v[i + 1, j]])
+            curves[(e, "W")] = ("arc", 0.0, 0.0)
+            curves[(e, "E")] = ("arc", 0.0, 0.0)
+            e += 1
+    if bc_fn is None:
+        bc_fn = lambda x, y, nrm: "W"
+    return build_mesh(n, np.asarray(corners), curves=curves, bc_fn=bc_fn)
 
 
 def box_mesh(n: int, nx: int, ny: int, x0: float, x1: float, y0: float,

@@ -2,6 +2,7 @@ from .cylinder import cylinder_mesh, cylinder_system
 from .cavity import cavity_system
 from .channel import channel_system
 from .bfs import bfs_mesh, bfs_system
+from .thermosyphon import thermosyphon_system, conduction_ic
 
 __all__ = ["cylinder_mesh", "cylinder_system", "cavity_system",
-           "channel_system", "bfs_mesh", "bfs_system"]
+           "channel_system", "bfs_mesh", "bfs_system", "thermosyphon_system", "conduction_ic"]

@@ -117,14 +117,15 @@ def _np_dssum(gid: np.ndarray, u: np.ndarray, nglobal: int) -> np.ndarray:
 
 def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
                  sponge_ramp: np.ndarray | None = None,
-                 pressure_precond: bool = True) -> SemContext:
+                 pressure_precond: bool = True,
+                 nscalars: int = 0,
+                 mask_t: np.ndarray | None = None) -> SemContext:
     """Build the device context. `sponge_ramp` (E,n,n, >=0) marks the sponge
     zone; the eigensolver inner-product weight bm_eig is zeroed wherever the
     ramp is active (reference: bm1s, core/usr_extra.f:104-128)."""
     g = geometry_factors(mesh)
     bm_assembled = _np_dssum(mesh.gid, g["bm"], mesh.nglobal)
     diag_a = _np_dssum(mesh.gid, g["diag_local"], mesh.nglobal)
-    mask_vel = np.stack([mesh.mask_u, mesh.mask_v])
 
     def to_global(a):
         gg = np.zeros(mesh.nglobal)
@@ -136,7 +137,14 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
         np.minimum.at(gg, mesh.gid.ravel(), a.ravel())
         return gg
 
-    maskg_vel = np.stack([min_global(mesh.mask_u), min_global(mesh.mask_v)])
+    # stacked component masks: velocity (+ nscalars advected scalars, which
+    # ride as extra components of the state — temperature for Boussinesq)
+    comp_masks = [mesh.mask_u, mesh.mask_v]
+    if nscalars:
+        mt = mesh.mask_t if mask_t is None else mask_t
+        comp_masks += [mt] * nscalars
+    mask_vel = np.stack(comp_masks)
+    maskg_vel = np.stack([min_global(m) for m in comp_masks])
     maskg_p = min_global(mesh.mask_p)
     diag_ag = to_global(g["diag_local"])
     bmg = to_global(g["bm"])

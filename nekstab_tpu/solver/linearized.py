@@ -43,11 +43,15 @@ def make_linear_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
     pstate (an NSState of the perturbation)."""
     nu = cfg.nu
     dt = cfg.dt
+    ncomp = 2 + (1 if cfg.boussinesq else 0)
+    nu_c = jnp.asarray([nu, nu] + [nu / cfg.pr] * (ncomp - 2),
+                       ctx.dtype)[:, None, None, None]
+    nu_g = nu_c[:, :, 0, 0]
     ctx = _pvary_globals(ctx)
     psolve = _pressure_solver(ctx, cfg, has_outflow)
 
     def helm_local(w, g0):
-        return (g0 / dt) * ctx.bm * w + nu * weak_laplacian(ctx, w)
+        return (g0 / dt) * ctx.bm * w + nu_c * weak_laplacian(ctx, w)
 
     def lstep(base_u, sponge, state: NSState, ab, eb, fextra=None):
         u = state.u
@@ -55,6 +59,9 @@ def make_linear_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
         # nekStab_forcing's perturbation branch, core/utils.f:149-180)
         ncur = (-convect(ctx, base_u, u) - convect(ctx, u, base_u)
                 - sponge * u)
+        if cfg.boussinesq:
+            gv = jnp.asarray(cfg.gvec, u.dtype)[:, None, None, None]
+            ncur = ncur.at[:2].add(gv * u[2])
         if fextra is not None:
             ncur = ncur + fextra
         uhat = (ab[1] * u + ab[2] * state.ulag[0] + ab[3] * state.ulag[1]
@@ -72,13 +79,17 @@ def make_linear_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
         p = state.p + dp
         px, py = grad(ctx, p)
         gradp = jnp.stack([px, py])
+        if ncomp > 2:
+            gradp = jnp.concatenate(
+                [gradp, jnp.zeros((ncomp - 2,) + px.shape, px.dtype)])
 
         def hmat(g):
             gl = scatter(ctx, ctx.maskg_vel * g)
             return ctx.maskg_vel * assemble(ctx, helm_local(gl, g0))
 
         def hprecond(r):
-            return ctx.maskg_vel * r / ((g0 / dt) * ctx.bmg + nu * ctx.diag_ag)
+            return ctx.maskg_vel * r / ((g0 / dt) * ctx.bmg
+                                        + nu_g * ctx.diag_ag)
 
         def hproject(g):
             return ctx.maskg_vel * g
@@ -117,8 +128,9 @@ def make_linear_propagator(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
         if p0 is None:
             p0 = jnp.zeros_like(ctx.bm)
         z = jnp.zeros((2,) + u0.shape, u0.dtype)
+        zcc = jnp.zeros((2, 2) + u0.shape[1:], u0.dtype)
         state = NSState(u=u0, p=p0, ulag=jnp.stack([u0, u0]),
-                        nlag=z, cclag=z)
+                        nlag=z, cclag=zcc)
 
         def body(st, xs):
             if floquet:
@@ -166,10 +178,11 @@ def make_forced_response(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
     ab_seq, eb_seq = _coeff_seqs(ctx, cfg, nsteps)
 
     def resp(base_u, sponge, f):
-        z = jnp.zeros((2,) + ctx.bm.shape, f.dtype)
+        z = jnp.zeros_like(f)
         zz = jnp.zeros((2,) + z.shape, f.dtype)
+        zcc = jnp.zeros((2, 2) + z.shape[1:], f.dtype)
         state = NSState(u=z, p=jnp.zeros_like(ctx.bm), ulag=zz, nlag=zz,
-                        cclag=zz)
+                        cclag=zcc)
 
         def body(st, xs):
             ab, eb = xs

@@ -69,7 +69,8 @@ class CaseFields:
 
 
 def zero_case_fields(ctx: SemContext) -> CaseFields:
-    z2 = jnp.zeros((2,) + ctx.bm.shape, ctx.dtype)
+    # component count from the mask stack (2 velocity + nscalars)
+    z2 = jnp.zeros(ctx.mask_vel.shape, ctx.dtype)
     return CaseFields(u_bc=z2, f=z2, sponge=jnp.zeros_like(ctx.bm),
                       sponge_ref=z2)
 
@@ -87,7 +88,9 @@ def initial_state(ctx: SemContext, u0: jnp.ndarray,
                   p0: jnp.ndarray | None = None) -> NSState:
     p0 = jnp.zeros_like(ctx.bm) if p0 is None else p0
     z = jnp.zeros((2,) + u0.shape, u0.dtype)
-    return NSState(u=u0, p=p0, ulag=jnp.stack([u0, u0]), nlag=z, cclag=z)
+    # curl-curl lags are velocity-only (2 components) even with scalars
+    zcc = jnp.zeros((2, 2) + u0.shape[1:], u0.dtype)
+    return NSState(u=u0, p=p0, ulag=jnp.stack([u0, u0]), nlag=z, cclag=zcc)
 
 
 def curl_curl(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
@@ -187,11 +190,16 @@ def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
     step; fextra is an optional extra body force (SFD/TDF/BoostConv feedback,
     the nekStab_forcing hook of the reference, core/utils.f:149-180)."""
     nu = cfg.nu
+    ncomp = 2 + (1 if cfg.boussinesq else 0)
+    # per-component diffusivity: velocity nu, temperature nu/Pr (Boussinesq)
+    nu_c = jnp.asarray([nu, nu] + [nu / cfg.pr] * (ncomp - 2),
+                       ctx.dtype)[:, None, None, None]
+    nu_g = nu_c[:, :, 0, 0]                      # (ncomp, 1) for global masks
     ctx = _pvary_globals(ctx)
     psolve = _pressure_solver(ctx, cfg, has_outflow)
 
     def helm_local(w, g0, dt):
-        return (g0 / dt) * ctx.bm * w + nu * weak_laplacian(ctx, w)
+        return (g0 / dt) * ctx.bm * w + nu_c * weak_laplacian(ctx, w)
 
     def step(case: CaseFields, state: NSState, ab, eb, fextra=None, dt=None):
         if dt is None:
@@ -200,6 +208,10 @@ def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
         u = state.u
         ncur = (-convect(ctx, u, u) + case.f
                 + case.sponge * (case.sponge_ref - u))
+        if cfg.boussinesq:
+            # buoyancy force g * theta on the momentum components
+            gv = jnp.asarray(cfg.gvec, u.dtype)[:, None, None, None]
+            ncur = ncur.at[:2].add(gv * u[2])
         if fextra is not None:
             ncur = ncur + fextra
         uhat = (ab[1] * u + ab[2] * state.ulag[0] + ab[3] * state.ulag[1]
@@ -222,6 +234,9 @@ def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
         p = state.p + dp
         px, py = grad(ctx, p)
         gradp = jnp.stack([px, py])
+        if ncomp > 2:    # no pressure gradient in the scalar equations
+            gradp = jnp.concatenate(
+                [gradp, jnp.zeros((ncomp - 2,) + px.shape, px.dtype)])
 
         # viscous Helmholtz with Dirichlet lifting, on global dof vectors
         u_b = (1.0 - ctx.mask_vel) * case.u_bc
@@ -231,7 +246,8 @@ def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
             return ctx.maskg_vel * assemble(ctx, helm_local(gl, g0, dt))
 
         def hprecond(r):
-            return ctx.maskg_vel * r / ((g0 / dt) * ctx.bmg + nu * ctx.diag_ag)
+            return ctx.maskg_vel * r / ((g0 / dt) * ctx.bmg
+                                        + nu_g * ctx.diag_ag)
 
         def hproject(g):
             return ctx.maskg_vel * g

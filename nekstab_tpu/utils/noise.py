@@ -18,7 +18,7 @@ from ..ops.gather_scatter import dsavg
 def add_noise(ctx: SemContext, seed: int = 1234, amp: float = 1.0):
     """Continuous, Dirichlet-masked random velocity perturbation (2, E, n, n)."""
     rng = np.random.default_rng(seed)
-    u = jnp.asarray(rng.normal(size=(2,) + ctx.bm.shape), ctx.dtype)
+    u = jnp.asarray(rng.normal(size=ctx.mask_vel.shape), ctx.dtype)
     return amp * ctx.mask_vel * dsavg(ctx, u)
 
 
