@@ -37,12 +37,16 @@ import jax.numpy as jnp
 CPU_BASELINE_MATVECS_PER_SEC = 0.006
 
 
-def build(nsteps: int):
+def build(nsteps: int, vtol=1e-4, ptol=1e-4):
     from nekstab_tpu.models.cylinder import cylinder_system, freestream_ic
     from nekstab_tpu.utils import add_noise
 
+    # f32 operating point: CG stagnates near 1e-5 relative residual in f32,
+    # so tighter tolerances just burn maxiter every solve
     sys_ = cylinder_system(n=6, dt=2.5e-3, dtype=jnp.float32,
-                           vtol=1e-5, ptol=1e-5)
+                           vtol=vtol, ptol=ptol)
+    import dataclasses
+    sys_.cfg = dataclasses.replace(sys_.cfg, vmaxit=80, pmaxit=150)
     prop = sys_.linear_propagator(nsteps)
     base = freestream_ic(sys_)
     v = add_noise(sys_.ctx, seed=1)

@@ -31,7 +31,7 @@ from nekstab_tpu.models import bfs_system
 from nekstab_tpu.utils import add_noise
 
 
-def main(re=500.0, n=5, tau=2.0, k_dim=12, tol=1e-4):
+def main(re=500.0, n=5, tau=2.0, k_dim=12, tol=1e-4, warmup_tu=40.0):
     t0 = time.time()
     sys_ = bfs_system(n=n, re=re, dt=1e-2, nx_in=3, nx_out=10, ny_half=3,
                       l_out=20.0)
@@ -39,7 +39,15 @@ def main(re=500.0, n=5, tau=2.0, k_dim=12, tol=1e-4):
     print(f"mesh: {sys_.mesh.nelem} elements, {sys_.mesh.nglobal} dofs, "
           f"Re={re}, tau={tau}")
 
-    res = sys_.newton_base_flow(sys_.case.u_bc + 0.0, tau=1.0, tol=1e-9,
+    # DNS warmup toward the steady state (BFS at Re=500 is stable but the
+    # strongly non-normal Jacobian stalls Newton from a crude guess)
+    from nekstab_tpu.solver import initial_state
+    nwarm = int(round(warmup_tu / sys_.cfg.dt))
+    st, _ = sys_.nonlinear_advance(nwarm)(sys_.case,
+                                          initial_state(ctx,
+                                                        sys_.case.u_bc + 0.0))
+    print(f"warmup {warmup_tu} TU ({time.time()-t0:.0f}s)")
+    res = sys_.newton_base_flow(st.u, tau=0.5, tol=1e-9,
                                 k_dim=40, maxiter=20)
     print(f"newton: converged={res.converged} iters={res.niter} "
           f"({time.time()-t0:.0f}s)")

@@ -3,6 +3,7 @@ from .cavity import cavity_system
 from .channel import channel_system
 from .bfs import bfs_mesh, bfs_system
 from .thermosyphon import thermosyphon_system, conduction_ic
+from .flipflop import flipflop_mesh, flipflop_system
 
 __all__ = ["cylinder_mesh", "cylinder_system", "cavity_system",
-           "channel_system", "bfs_mesh", "bfs_system", "thermosyphon_system", "conduction_ic"]
+           "channel_system", "bfs_mesh", "bfs_system", "thermosyphon_system", "conduction_ic", "flipflop_mesh", "flipflop_system"]
