@@ -127,6 +127,11 @@ class Mesh2D:
     # sum(q * (bwn[0] u + bwn[1] v)) = boundary integral of (u,v).n q over
     # all 'V'/'W' faces — the g_n term of the pressure-Poisson weak form
     bwn: np.ndarray | None = None
+    # structured-block layout for the slice-based gather-scatter
+    # (ops/gslib2.py): tuples (e0, bx, by, orient, per_x, per_y) with elements
+    # e0 + ix*by + iy stored contiguously; orient 'xy' = node r-axis along
+    # block-x, 'swap' = node s-axis along block-x (O-grid rings)
+    blocks: tuple | None = None
 
     @property
     def shape(self) -> tuple[int, int, int]:
@@ -358,7 +363,9 @@ def annulus_mesh(n: int, r_in: float = 1.0, r_out: float = 2.0,
             e += 1
     if bc_fn is None:
         bc_fn = lambda x, y, nrm: "W"
-    return build_mesh(n, np.asarray(corners), curves=curves, bc_fn=bc_fn)
+    m = build_mesh(n, np.asarray(corners), curves=curves, bc_fn=bc_fn)
+    m.blocks = ((0, n_theta, n_r, "swap"),)
+    return m
 
 
 def box_mesh(n: int, nx: int, ny: int, x0: float, x1: float, y0: float,
@@ -387,4 +394,6 @@ def box_mesh(n: int, nx: int, ny: int, x0: float, x1: float, y0: float,
 
     if bc_fn is None and (periodic_x and periodic_y):
         bc_fn = None  # fully periodic: no boundary faces remain
-    return build_mesh(n, corners, bc_fn=bc_fn, periodic_map=pmap)
+    m = build_mesh(n, corners, bc_fn=bc_fn, periodic_map=pmap)
+    m.blocks = ((0, len(yv) - 1, len(xv) - 1, "swap"),)
+    return m

@@ -29,6 +29,8 @@ def bfs_mesh(n: int = 6, *, l_in: float = 5.0, l_out: float = 25.0,
         box_corners(xv_in, yv_up),                       # inlet block
         box_corners(xv_out, np.concatenate([yv_lo[:-1], yv_up])),  # outlet
     ])
+    blocks = ((0, ny_half, nx_in, "swap"),
+              (ny_half * nx_in, 2 * ny_half, nx_out, "swap"))
 
     def bc(x, y, nrm):
         if np.isclose(x, l_out):
@@ -37,7 +39,9 @@ def bfs_mesh(n: int = 6, *, l_in: float = 5.0, l_out: float = 25.0,
             return "V"
         return "W"   # channel walls + step face + inlet bottom
 
-    return build_mesh(n, corners, bc_fn=bc)
+    m = build_mesh(n, corners, bc_fn=bc)
+    m.blocks = blocks
+    return m
 
 
 def bfs_system(n: int = 6, re: float = 500.0, dt: float = 2e-3, *,

@@ -67,6 +67,7 @@ def cylinder_mesh(n: int = 6, *, radius: float = 0.5, a: float = 2.5,
     npts = 4 * nq
     corners = []
     curves = {}
+    blocks = [(0, npts, n_ring, "swap")]
     e = 0
     for i in range(npts):
         ip = (i + 1) % npts
@@ -83,23 +84,27 @@ def cylinder_mesh(n: int = 6, *, radius: float = 0.5, a: float = 2.5,
                 curves[(e, "W")] = ("arc", 0.0, 0.0)
             e += 1
 
-    # Cartesian frame around the square
+    # Cartesian frame around the square: 8 structured patches (3x3 grid of
+    # line segments minus the O-grid hole) — block metadata for gslib2
     s = np.linspace(-a, a, nq + 1)
     xl = _grade(xmin, -a, nx_left, grade_left)
     xr = _grade(a, xmax, nx_right, grade_right)
     yb = _grade(ymin, -a, ny_side, 1.0 / grade_side)
     yt = _grade(a, ymax, ny_side, grade_side)
-    xlines = np.concatenate([xl[:-1], s, xr[1:]])
-    ylines = np.concatenate([yb[:-1], s, yt[1:]])
-    for jy in range(len(ylines) - 1):
-        for ix in range(len(xlines) - 1):
-            x0, x1 = xlines[ix], xlines[ix + 1]
-            y0, y1 = ylines[jy], ylines[jy + 1]
-            xm, ym = (x0 + x1) / 2, (y0 + y1) / 2
-            if abs(xm) < a and abs(ym) < a:
-                continue          # inside the O-grid square
-            corners.append([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
-            e += 1
+    xsegs = [xl, s, xr]
+    ysegs = [yb, s, yt]
+    for py in range(3):
+        for px in range(3):
+            if px == 1 and py == 1:
+                continue
+            xv, yv = xsegs[px], ysegs[py]
+            blocks.append((e, len(yv) - 1, len(xv) - 1, "swap"))
+            for jy in range(len(yv) - 1):
+                for ix in range(len(xv) - 1):
+                    x0, x1 = xv[ix], xv[ix + 1]
+                    y0, y1 = yv[jy], yv[jy + 1]
+                    corners.append([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+                    e += 1
 
     def bc(x, y, nrm):
         if np.isclose(x, xmax):
@@ -108,7 +113,9 @@ def cylinder_mesh(n: int = 6, *, radius: float = 0.5, a: float = 2.5,
             return "V"
         return "W"               # cylinder surface
 
-    return build_mesh(n, np.asarray(corners), curves=curves, bc_fn=bc)
+    m = build_mesh(n, np.asarray(corners), curves=curves, bc_fn=bc)
+    m.blocks = tuple(blocks)
+    return m
 
 
 def cylinder_system(n: int = 6, re: float = 50.0, dt: float = 2.5e-3,

@@ -33,11 +33,13 @@ def flipflop_mesh(n: int = 6, *, radius: float = 0.5, sep: float = 1.5,
         raise ValueError("ring squares overlap: increase sep or decrease a")
     corners = []
     curves = {}
+    blocks = []
     e = 0
     for cy in (c1, c2):
         ring = _ring_vertices(radius, a, nq, n_ring, ring_ratio)
         ring = ring + np.array([0.0, cy])
         npts = 4 * nq
+        blocks.append((e, npts, n_ring, "swap"))
         for i in range(npts):
             ip = (i + 1) % npts
             for j in range(n_ring):
@@ -53,20 +55,24 @@ def flipflop_mesh(n: int = 6, *, radius: float = 0.5, sep: float = 1.5,
     s = np.linspace(-a, a, nq + 1)
     xl = _grade(xmin, -a, nx_left, grade_left)
     xr = _grade(a, xmax, nx_right, grade_right)
-    xlines = np.concatenate([xl[:-1], s, xr[1:]])
     yb = _grade(ymin, c1 - a, ny_outer, 1.0 / grade_side)
     yt = _grade(c2 + a, ymax, ny_outer, grade_side)
     ygap = np.linspace(c1 + a, c2 - a, ny_gap + 1)
-    ylines = np.concatenate([yb[:-1], c1 + s, ygap[1:-1], c2 + s, yt[1:]])
-    for jy in range(len(ylines) - 1):
-        for ix in range(len(xlines) - 1):
-            x0, x1 = xlines[ix], xlines[ix + 1]
-            y0, y1 = ylines[jy], ylines[jy + 1]
-            xm, ym = (x0 + x1) / 2, (y0 + y1) / 2
-            if abs(xm) < a and (abs(ym - c1) < a or abs(ym - c2) < a):
+    xsegs = [xl, s, xr]
+    ysegs = [yb, c1 + s, ygap, c2 + s, yt]
+    # 3x5 patch grid minus the two ring holes — block metadata for gslib2
+    for py in range(5):
+        for px in range(3):
+            if px == 1 and py in (1, 3):
                 continue
-            corners.append([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
-            e += 1
+            xv, yv = xsegs[px], ysegs[py]
+            blocks.append((e, len(yv) - 1, len(xv) - 1, "swap"))
+            for jy in range(len(yv) - 1):
+                for ix in range(len(xv) - 1):
+                    x0, x1 = xv[ix], xv[ix + 1]
+                    y0, y1 = yv[jy], yv[jy + 1]
+                    corners.append([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+                    e += 1
 
     def bc(x, y, nrm):
         if np.isclose(x, xmax):
@@ -75,7 +81,9 @@ def flipflop_mesh(n: int = 6, *, radius: float = 0.5, sep: float = 1.5,
             return "V"
         return "W"
 
-    return build_mesh(n, np.asarray(corners), curves=curves, bc_fn=bc)
+    m = build_mesh(n, np.asarray(corners), curves=curves, bc_fn=bc)
+    m.blocks = tuple(blocks)
+    return m
 
 
 def flipflop_system(n: int = 6, re: float = 60.0, dt: float = 2.5e-3, *,

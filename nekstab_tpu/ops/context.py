@@ -29,8 +29,8 @@ from ..quadrature import make_basis
                       "g11", "g12", "g22", "diag_a", "mask_vel", "mask_p",
                       "multinv", "maskg_vel", "maskg_p", "diag_ag", "bmg",
                       "xcoord", "ycoord", "bm_eig", "gid", "gid_flat",
-                      "gs_idx", "p_schwarz", "p_coarse", "bwn"],
-         meta_fields=["n", "nelem", "nglobal", "axis_name"])
+                      "gs_idx", "p_schwarz", "p_coarse", "bwn", "gs2_rv"],
+         meta_fields=["n", "nelem", "nglobal", "axis_name", "gs2_plan"])
 @dataclasses.dataclass(frozen=True)
 class SemContext:
     # static metadata
@@ -74,6 +74,10 @@ class SemContext:
     p_schwarz: jnp.ndarray | None   # (E, n^2, n^2) element pseudo-inverses
     p_coarse: jnp.ndarray | None    # (E, E) coarse-space inverse
     bwn: jnp.ndarray          # (2, E, n, n) Dirichlet-face normal weights
+    # structured-block gather-scatter (ops/gslib2.py): static plan tuple and
+    # the dense vertex-incidence matrix; None -> unstructured fallback
+    gs2_plan: tuple | None
+    gs2_rv: jnp.ndarray | None
 
     @property
     def dtype(self):
@@ -161,6 +165,11 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
         from .precond import build_pressure_precond
         ps, pc = build_pressure_precond(mesh, g, g["D"])
         p_schwarz, p_coarse = dev(ps), dev(pc)
+
+    from .gslib2 import build_plan
+    gs2_plan, gs2_rv = build_plan(mesh)
+    if gs2_rv is not None:
+        gs2_rv = dev(gs2_rv)
     return SemContext(
         n=mesh.n, nelem=mesh.nelem, nglobal=mesh.nglobal,
         gid=jnp.asarray(mesh.gid, dtype=jnp.int32),
@@ -175,6 +184,7 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
         maskg_vel=dev(maskg_vel), maskg_p=dev(maskg_p),
         diag_ag=dev(diag_ag), bmg=dev(bmg),
         p_schwarz=p_schwarz, p_coarse=p_coarse,
+        gs2_plan=gs2_plan, gs2_rv=gs2_rv,
         bwn=dev(mesh.bwn if mesh.bwn is not None
                 else np.zeros((2,) + mesh.x.shape)),
         xcoord=dev(mesh.x), ycoord=dev(mesh.y), bm_eig=dev(bm_eig))

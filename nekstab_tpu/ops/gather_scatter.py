@@ -48,7 +48,12 @@ def scatter(ctx: SemContext, g: jnp.ndarray) -> jnp.ndarray:
 
 
 def dssum(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
-    """Direct-stiffness sum: duplicated dofs receive the sum over all copies."""
+    """Direct-stiffness sum: duplicated dofs receive the sum over all copies.
+    Uses the structured slice-exchange path (ops/gslib2.py) when the mesh has
+    block metadata — no XLA gathers — else the index-table fallback."""
+    if ctx.gs2_plan is not None:
+        from .gslib2 import dssum2
+        return dssum2(u, ctx.gs2_plan, ctx.gs2_rv)
     return scatter(ctx, _assemble_global(ctx, u))
 
 

@@ -53,6 +53,8 @@ def context_specs(ctx: SemContext, axis: str = "e") -> SemContext:
         gid_flat=P(axis), gs_idx=rep,
         p_schwarz=None if ctx.p_schwarz is None else e3,
         p_coarse=None if ctx.p_coarse is None else e3,
+        gs2_plan=ctx.gs2_plan,
+        gs2_rv=None if ctx.gs2_rv is None else rep,
         bwn=c4)
 
 

@@ -83,21 +83,40 @@ def make_linear_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
             gradp = jnp.concatenate(
                 [gradp, jnp.zeros((ncomp - 2,) + px.shape, px.dtype)])
 
-        def hmat(g):
-            gl = scatter(ctx, ctx.maskg_vel * g)
-            return ctx.maskg_vel * assemble(ctx, helm_local(gl, g0))
+        rhs_loc = ctx.bm * (uhat / dt - gradp)
+        if ctx.gs2_plan is not None:
+            mv = ctx.mask_vel
 
-        def hprecond(r):
-            return ctx.maskg_vel * r / ((g0 / dt) * ctx.bmg
-                                        + nu_g * ctx.diag_ag)
+            def hmat(y):
+                return mv * dssum(ctx, helm_local(dssum(ctx, mv * y), g0))
 
-        def hproject(g):
-            return ctx.maskg_vel * g
+            def hprecond(r):
+                return mv * r / ((g0 / dt) * ctx.bm_assembled
+                                 + nu_c * ctx.diag_a)
 
-        rhs_v = ctx.maskg_vel * assemble(ctx, ctx.bm * (uhat / dt - gradp))
-        ug = solve_spd_local(hmat, rhs_v, _gdot, hprecond, cfg.vtol,
-                             cfg.vmaxit, hproject)
-        unew = scatter(ctx, ctx.maskg_vel * ug)
+            def hproject(y):
+                return mv * y
+
+            b = mv * dssum(ctx, rhs_loc)
+            y = solve_spd_local(hmat, b, _gdot, hprecond, cfg.vtol,
+                                cfg.vmaxit, hproject)
+            unew = dssum(ctx, mv * y)
+        else:
+            def hmat(g):
+                gl = scatter(ctx, ctx.maskg_vel * g)
+                return ctx.maskg_vel * assemble(ctx, helm_local(gl, g0))
+
+            def hprecond(r):
+                return ctx.maskg_vel * r / ((g0 / dt) * ctx.bmg
+                                            + nu_g * ctx.diag_ag)
+
+            def hproject(g):
+                return ctx.maskg_vel * g
+
+            rhs_v = ctx.maskg_vel * assemble(ctx, rhs_loc)
+            ug = solve_spd_local(hmat, rhs_v, _gdot, hprecond, cfg.vtol,
+                                 cfg.vmaxit, hproject)
+            unew = scatter(ctx, ctx.maskg_vel * ug)
 
         return NSState(u=unew, p=p,
                        ulag=jnp.stack([u, state.ulag[0]]),

@@ -126,12 +126,19 @@ def _pvary_globals(ctx: SemContext) -> SemContext:
 
 
 def _pressure_solver(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
-    """Pressure Poisson solve on the assembled global dof vector.
+    """Pressure Poisson solve, Euclidean-symmetric so that
+    lax.custom_linear_solve(symmetric=True) transposes it exactly (the key to
+    the machine-precision discrete adjoint). Takes a *local* rhs functional,
+    returns the solution as a continuous local field.
 
-    The operator A_g = mask o scatter^T o A_local o scatter o mask is
-    Euclidean-symmetric, so lax.custom_linear_solve(symmetric=True) transposes
-    it exactly — required for the machine-precision discrete adjoint. Takes a
-    *local* rhs functional, returns the solution as a local field."""
+    Two formulations:
+    * structured meshes (ctx.gs2_plan): local-space form
+      A_sym = M S A_loc S M with S the slice-exchange dssum (ops/gslib2.py)
+      — no XLA gathers anywhere in the CG loop;
+    * fallback: assembled global dof vectors via the index-table qsum/qcopy.
+    """
+    if ctx.gs2_plan is not None:
+        return _pressure_solver_gs2(ctx, cfg, has_outflow)
 
     def amat(g):
         gl = scatter(ctx, ctx.maskg_p * g)
@@ -174,6 +181,56 @@ def _pressure_solver(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
         g = solve_spd_local(amat, rhs, _gdot, precond, cfg.ptol, cfg.pmaxit,
                             project)
         return scatter(ctx, ctx.maskg_p * g)
+
+    return solve
+
+
+def _pressure_solver_gs2(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
+    from ..ops.gather_scatter import dssum
+
+    mask = ctx.mask_p
+
+    def amat(y):
+        return mask * dssum(ctx, weak_laplacian(ctx, dssum(ctx, mask * y)))
+
+    if ctx.p_schwarz is not None:
+        nn = ctx.n * ctx.n
+        mloc = ctx.multinv.reshape(-1, nn)
+
+        def precond(r):
+            # two-level Schwarz, fully element-local (multiplicity-weighted
+            # on both sides => Euclidean-symmetric; no communication)
+            rl = (ctx.multinv * (mask * r)).reshape(-1, nn)
+            ze = jnp.einsum("eab,eb->ea", ctx.p_schwarz, rl)
+            rc = jnp.sum(rl, axis=1)
+            if ctx.axis_name is not None:
+                rc = jax.lax.all_gather(rc, ctx.axis_name, tiled=True)
+            zc = ctx.p_coarse @ rc
+            z = ((ze + zc[:, None]).reshape(ctx.bm.shape)) * ctx.multinv
+            return mask * z
+    else:
+        def precond(r):
+            return mask * r / ctx.diag_a
+
+    if has_outflow:
+        def project(y):
+            return mask * y
+    else:
+        # enclosed flow: the null direction of A_sym = S A S is y* = multinv
+        # (S multinv = ones). Consistency requires r perp multinv; remove the
+        # incompatible component as a UNIFORM assembled shift (subtract
+        # c * ones with c = <multinv, y>/nglobal — then <multinv, y'> = 0 and
+        # the physics correction is the standard constant compatibility fix)
+        minv = ctx.multinv
+
+        def project(y):
+            return y - jnp.vdot(minv, y) / ctx.nglobal
+
+    def solve(rhs_local):
+        b = project(mask * dssum(ctx, rhs_local))
+        y = solve_spd_local(amat, b, _gdot, precond, cfg.ptol, cfg.pmaxit,
+                            project)
+        return dssum(ctx, mask * y)
 
     return solve
 
@@ -238,25 +295,44 @@ def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
             gradp = jnp.concatenate(
                 [gradp, jnp.zeros((ncomp - 2,) + px.shape, px.dtype)])
 
-        # viscous Helmholtz with Dirichlet lifting, on global dof vectors
+        # viscous Helmholtz with Dirichlet lifting
         u_b = (1.0 - ctx.mask_vel) * case.u_bc
+        rhs_loc = ctx.bm * (uhat / dt - gradp) - helm_local(u_b, g0, dt)
 
-        def hmat(g):
-            gl = scatter(ctx, ctx.maskg_vel * g)
-            return ctx.maskg_vel * assemble(ctx, helm_local(gl, g0, dt))
+        if ctx.gs2_plan is not None:
+            from ..ops.gather_scatter import dssum
+            mv = ctx.mask_vel
 
-        def hprecond(r):
-            return ctx.maskg_vel * r / ((g0 / dt) * ctx.bmg
-                                        + nu_g * ctx.diag_ag)
+            def hmat(y):
+                return mv * dssum(ctx, helm_local(dssum(ctx, mv * y), g0, dt))
 
-        def hproject(g):
-            return ctx.maskg_vel * g
+            def hprecond(r):
+                return mv * r / ((g0 / dt) * ctx.bm_assembled
+                                 + nu_c * ctx.diag_a)
 
-        rhs_v = ctx.maskg_vel * assemble(
-            ctx, ctx.bm * (uhat / dt - gradp) - helm_local(u_b, g0, dt))
-        ug = solve_spd_local(hmat, rhs_v, _gdot, hprecond, cfg.vtol,
-                             cfg.vmaxit, hproject)
-        unew = scatter(ctx, ctx.maskg_vel * ug) + u_b
+            def hproject(y):
+                return mv * y
+
+            b = mv * dssum(ctx, rhs_loc)
+            y = solve_spd_local(hmat, b, _gdot, hprecond, cfg.vtol,
+                                cfg.vmaxit, hproject)
+            unew = dssum(ctx, mv * y) + u_b
+        else:
+            def hmat(g):
+                gl = scatter(ctx, ctx.maskg_vel * g)
+                return ctx.maskg_vel * assemble(ctx, helm_local(gl, g0, dt))
+
+            def hprecond(r):
+                return ctx.maskg_vel * r / ((g0 / dt) * ctx.bmg
+                                            + nu_g * ctx.diag_ag)
+
+            def hproject(g):
+                return ctx.maskg_vel * g
+
+            rhs_v = ctx.maskg_vel * assemble(ctx, rhs_loc)
+            ug = solve_spd_local(hmat, rhs_v, _gdot, hprecond, cfg.vtol,
+                                 cfg.vmaxit, hproject)
+            unew = scatter(ctx, ctx.maskg_vel * ug) + u_b
 
         new_state = NSState(u=unew, p=p,
                             ulag=jnp.stack([u, state.ulag[0]]),
