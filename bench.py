@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 
 # measured on this container's 2-core CPU, same mesh/config/float32, see --cpu
-CPU_BASELINE_MATVECS_PER_SEC = 0.006
+# (steps/s is nsteps-invariant; ~2 lin-NS steps/s on the 618-element mesh)
+CPU_BASELINE_STEPS_PER_SEC = 2.0
 
 
 def build(nsteps: int, vtol=1e-4, ptol=1e-4):
@@ -79,7 +80,7 @@ def main(cpu_mode: bool = False, nsteps: int = 400, nmatvec: int = 3):
         "value": round(mv_per_sec, 5),
         "unit": f"matvec/s (1 matvec = {nsteps} lin-NS steps, "
                 f"{sys_.mesh.nglobal} dofs, f32)",
-        "vs_baseline": round(mv_per_sec / CPU_BASELINE_MATVECS_PER_SEC, 2),
+        "vs_baseline": round(mv_per_sec * nsteps / CPU_BASELINE_STEPS_PER_SEC, 2),
         "steps_per_sec": round(mv_per_sec * nsteps, 2),
         "backend": jax.default_backend(),
         "compile_s": round(compile_wall, 1),

@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 import numpy as np
@@ -37,9 +38,16 @@ GOLD_OMEGA = 7.565285e-1
 
 
 def main(full: bool = False, warmup_tu: float = 30.0, k_dim: int = 48,
-         tau: float = 0.5, newton_tau: float = 0.25):
+         tau: float = 0.5, newton_tau: float = 0.25, tpu: bool = False):
     t_start = time.time()
-    if full:
+    if tpu:
+        # f32 on the real chip: CG stagnates near 1e-5 relative residual
+        sys_ = cylinder_system(n=6, dt=2.5e-3, dtype=jnp.float32,
+                               vtol=1e-5, ptol=1e-5)
+        import dataclasses
+        sys_.cfg = dataclasses.replace(sys_.cfg, vmaxit=80, pmaxit=150)
+        k_dim, tol, tau = 160, 3e-4, 1.0
+    elif full:
         sys_ = cylinder_system(n=6, dt=2e-3, vtol=1e-9, ptol=1e-7)
         k_dim, tol = 120, 1e-6
     else:
@@ -59,7 +67,8 @@ def main(full: bool = False, warmup_tu: float = 30.0, k_dim: int = 48,
           f"E={float(energy[-1]):.6f}, wall {time.time()-t_start:.0f}s)")
 
     # --- 2. Newton-Krylov to the steady base flow ------------------------
-    res = sys_.newton_base_flow(st.u, tau=newton_tau, tol=1e-9, k_dim=40,
+    newton_tol = 2e-5 if tpu else 1e-9
+    res = sys_.newton_base_flow(st.u, tau=newton_tau, tol=newton_tol, k_dim=40,
                                 maxiter=20)
     print(f"newton: converged={res.converged} iters={res.niter} "
           f"|F|={res.residuals[-1]:.3e} (wall {time.time()-t_start:.0f}s)")
@@ -90,6 +99,7 @@ def main(full: bool = False, warmup_tu: float = 30.0, k_dim: int = 48,
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true")
+    ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--warmup", type=float, default=30.0)
     args = ap.parse_args()
-    main(full=args.full, warmup_tu=args.warmup)
+    main(full=args.full, warmup_tu=args.warmup, tpu=args.tpu)
