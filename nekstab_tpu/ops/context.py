@@ -29,7 +29,8 @@ from ..quadrature import make_basis
                       "g11", "g12", "g22", "diag_a", "mask_vel", "mask_p",
                       "multinv", "maskg_vel", "maskg_p", "diag_ag", "bmg",
                       "xcoord", "ycoord", "bm_eig", "gid", "gid_flat",
-                      "gs_idx", "p_schwarz", "p_coarse", "bwn", "gs2_rv"],
+                      "gs_idx", "p_schwarz", "p_coarse", "bwn", "gs2_rv",
+                      "jd", "wd", "dmet"],
          meta_fields=["n", "nelem", "nglobal", "axis_name", "gs2_plan"])
 @dataclasses.dataclass(frozen=True)
 class SemContext:
@@ -78,6 +79,13 @@ class SemContext:
     # the dense vertex-incidence matrix; None -> unstructured fallback
     gs2_plan: tuple | None
     gs2_rv: jnp.ndarray | None
+    # over-integration dealiasing of advection (reference: Nek5000 lxd grid,
+    # `SIZE` lxd = 3*lx1/2; SURVEY.md §2 "Dealiasing"). None -> collocation.
+    jd: jnp.ndarray | None    # (m, n) GLL -> Gauss interpolation
+    wd: jnp.ndarray | None    # (m, m) fine quadrature weights outer(wg, wg)
+    dmet: jnp.ndarray | None  # (4, E, m, m) fine-grid metric polynomials
+                              #  [ys, xs, yr, xr]: jac*(c.grad r) = cx ys - cy xs,
+                              #  jac*(c.grad s) = -cx yr + cy xr
 
     @property
     def dtype(self):
@@ -123,7 +131,8 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
                  sponge_ramp: np.ndarray | None = None,
                  pressure_precond: bool = True,
                  nscalars: int = 0,
-                 mask_t: np.ndarray | None = None) -> SemContext:
+                 mask_t: np.ndarray | None = None,
+                 dealias: bool | int = False) -> SemContext:
     """Build the device context. `sponge_ramp` (E,n,n, >=0) marks the sponge
     zone; the eigensolver inner-product weight bm_eig is zeroed wherever the
     ramp is active (reference: bm1s, core/usr_extra.f:104-128)."""
@@ -170,6 +179,18 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
     gs2_plan, gs2_rv = build_plan(mesh)
     if gs2_rv is not None:
         gs2_rv = dev(gs2_rv)
+
+    jd = wd = dmet = None
+    if dealias:
+        from ..quadrature import make_dealias
+        da = make_dealias(mesh.n, None if dealias is True else int(dealias))
+        # fine-grid metric *polynomials* (exact interpolants of degree-p maps):
+        # ys = rx*jac, xs = -ry*jac, yr = -sx*jac, xr = sy*jac
+        met = np.stack([g["rx"] * g["jac"], -g["ry"] * g["jac"],
+                        -g["sx"] * g["jac"], g["sy"] * g["jac"]])
+        metd = np.einsum("ai,bj,keij->keab", da.J, da.J, met)
+        jd, wd = dev(da.J), dev(np.outer(da.wg, da.wg))
+        dmet = dev(metd)
     return SemContext(
         n=mesh.n, nelem=mesh.nelem, nglobal=mesh.nglobal,
         gid=jnp.asarray(mesh.gid, dtype=jnp.int32),
@@ -184,7 +205,7 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
         maskg_vel=dev(maskg_vel), maskg_p=dev(maskg_p),
         diag_ag=dev(diag_ag), bmg=dev(bmg),
         p_schwarz=p_schwarz, p_coarse=p_coarse,
-        gs2_plan=gs2_plan, gs2_rv=gs2_rv,
+        gs2_plan=gs2_plan, gs2_rv=gs2_rv, jd=jd, wd=wd, dmet=dmet,
         bwn=dev(mesh.bwn if mesh.bwn is not None
                 else np.zeros((2,) + mesh.x.shape)),
         xcoord=dev(mesh.x), ycoord=dev(mesh.y), bm_eig=dev(bm_eig))

@@ -68,6 +68,42 @@ def weak_div(ctx: SemContext, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return deriv_r_t(ctx.D, fr) + deriv_s_t(ctx.D, fs)
 
 
+def interp_fine(jd: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Interpolate (..., E, n, n) GLL field to the (..., E, m, m) Gauss grid."""
+    t = jnp.einsum("ai,...ij->...aj", jd, u)
+    return jnp.einsum("bj,...aj->...ab", jd, t)
+
+
+def interp_fine_t(jd: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Transpose: Gauss-grid functional -> GLL functional."""
+    t = jnp.einsum("ai,...aj->...ij", jd, w)
+    return jnp.einsum("bj,...ib->...ij", jd, t)
+
+
+def convect_dealiased(ctx: SemContext, c: jnp.ndarray,
+                      u: jnp.ndarray) -> jnp.ndarray:
+    """(c.grad)u with over-integration on the Gauss grid (pointwise-equivalent
+    form: the dealiased weak convection divided by the diagonal mass).
+
+    The quadratic product is formed on the m-point Gauss grid (m ~ 3n/2) so
+    the degree-(2p-1) integrand is integrated exactly — the reference's lxd
+    over-integration (Nek5000 convect_new; SURVEY.md §2 "Dealiasing"). All
+    steps are interpolations/products: exactly linear in both args separately,
+    so `jax.linear_transpose` of the linearized step remains exact.
+    """
+    ur = deriv_r(ctx.D, u)
+    us = deriv_s(ctx.D, u)
+    urd = interp_fine(ctx.jd, ur)
+    usd = interp_fine(ctx.jd, us)
+    cxd = interp_fine(ctx.jd, c[0])
+    cyd = interp_fine(ctx.jd, c[1])
+    # jac*(c . grad r), jac*(c . grad s) on the fine grid (polynomial metrics)
+    crd = cxd * ctx.dmet[0] - cyd * ctx.dmet[1]
+    csd = -cxd * ctx.dmet[2] + cyd * ctx.dmet[3]
+    fd = ctx.wd * (crd * urd + csd * usd)
+    return interp_fine_t(ctx.jd, fd) / ctx.bm
+
+
 def strong_div(ctx: SemContext, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Collocation divergence du/dx + dv/dy."""
     ux, _ = grad(ctx, u)

@@ -55,6 +55,9 @@ def context_specs(ctx: SemContext, axis: str = "e") -> SemContext:
         p_coarse=None if ctx.p_coarse is None else e3,
         gs2_plan=ctx.gs2_plan,
         gs2_rv=None if ctx.gs2_rv is None else rep,
+        jd=None if ctx.jd is None else rep,
+        wd=None if ctx.wd is None else rep,
+        dmet=None if ctx.dmet is None else c4,
         bwn=c4)
 
 

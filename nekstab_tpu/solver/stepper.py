@@ -102,7 +102,12 @@ def curl_curl(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
 
 
 def convect(ctx: SemContext, c: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-    """(c . grad) u for stacked fields u (k, E, n, n), velocity c (2, E, n, n)."""
+    """(c . grad) u for stacked fields u (k, E, n, n), velocity c (2, E, n, n).
+    Over-integrated on the Gauss grid when the context carries a dealias rule
+    (reference: Nek5000 lxd grid), else collocation."""
+    if ctx.jd is not None:
+        from ..ops.tensorprod import convect_dealiased
+        return convect_dealiased(ctx, c, u)
     gx, gy = grad(ctx, u)
     return c[0] * gx + c[1] * gy
 
