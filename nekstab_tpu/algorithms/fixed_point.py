@@ -237,11 +237,15 @@ def boostconv(ctx: SemContext, cfg: NSConfig, case: CaseFields,
 def tdf(ctx: SemContext, cfg: NSConfig, case: CaseFields, has_outflow: bool,
         state: NSState, *, period: float, gain: float | None = None,
         tol: float = 1e-7, max_periods: int = 200, logger: Callable = print,
-        callback: Callable | None = None) -> StabilizerResult:
+        callback: Callable | None = None,
+        bc_wave: Callable | None = None) -> StabilizerResult:
     """Time-delayed feedback stabilization of a periodic orbit with target
     period T: f(t) = gain * (u(t) - u(t-T)), default gain the theoretically
     optimal -0.04432 * 2 pi / T (reference core/fixedp.f:37). The time step
-    is adjusted so T = norbit * dt exactly (core/fixedp.f:24-35)."""
+    is adjusted so T = norbit * dt exactly (core/fixedp.f:24-35).
+
+    bc_wave(t) (T-periodic scalar) drives a pulsed Dirichlet inlet through
+    case.u_bc_osc — the reference's forced-orbit jet (tpjet userbc)."""
     import dataclasses
     norbit = int(np.ceil(period / cfg.dt))
     dt = period / norbit
@@ -252,20 +256,25 @@ def tdf(ctx: SemContext, cfg: NSConfig, case: CaseFields, has_outflow: bool,
     step = make_step(ctx, cfg, has_outflow)
     ab, eb = (jnp.asarray(c, ctx.dtype)
               for c in timestep_coeffs(norbit, cfg.torder, np.float64))
+    if bc_wave is not None:
+        bcw = jnp.asarray([bc_wave((i + 1) * dt) for i in range(norbit)],
+                          ctx.dtype)
+    else:
+        bcw = jnp.zeros(norbit, ctx.dtype)
 
     @jax.jit
     def one_period(case, state, ring, warmed):
         def body(carry, xs):
             st, ring = carry
-            abi, ebi, i = xs
+            abi, ebi, i, bcwi = xs
             delayed = ring[i]
             f = jnp.where(warmed, gain, 0.0) * (st.u - delayed)
-            st2, _ = step(case, st, abi, ebi, fextra=f)
+            st2, _ = step(case, st, abi, ebi, fextra=f, bcw=bcwi)
             res = _step_norm(ctx, st2.u - delayed)
             ring = ring.at[i].set(st2.u)
             return (st2, ring), res
         (st, ring), res = lax.scan(
-            body, (state, ring), (ab, eb, jnp.arange(norbit)))
+            body, (state, ring), (ab, eb, jnp.arange(norbit), bcw))
         return st, ring, res
 
     ring = jnp.zeros((norbit,) + state.u.shape, ctx.dtype)

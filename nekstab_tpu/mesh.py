@@ -18,6 +18,9 @@ Boundary-condition tags (cf. Nek5000 cbc codes used in the reference examples):
   'V'   inflow         -> Dirichlet velocity (values from the case)
   'O'   outflow        -> natural (do-nothing) + pressure pinned to 0
   'SYM' symmetry       -> zero normal velocity (axis-aligned faces only)
+  'A'   axis (r=0)     -> axisymmetric axis: zero radial velocity, natural
+                          axial/pressure (the reference's Nek5000 `ifaxis`
+                          'A  ' cbc, used by examples/tpjet)
 """
 
 from __future__ import annotations
@@ -122,6 +125,9 @@ class Mesh2D:
     mask_p: np.ndarray         # (E, n, n) 0.0 where pressure pinned (outflow)
     mask_t: np.ndarray | None  # (E, n, n) scalar/temperature Dirichlet mask
     has_outflow: bool
+    # axisymmetric (x, r) meridional mesh: y >= 0 is the radius, weak forms
+    # r-weighted (ops/context.py); set automatically when an 'A' face exists
+    axisym: bool = False
     bc_faces: list[BoundaryFace] = field(default_factory=list)
     # surface-quadrature outward-normal weights on Dirichlet faces:
     # sum(q * (bwn[0] u + bwn[1] v)) = boundary integral of (u,v).n q over
@@ -236,6 +242,10 @@ def build_mesh(n: int, corners: np.ndarray,
                 mask_u[e][idx] = 0.0
             else:
                 mask_v[e][idx] = 0.0
+        elif tag == "A":
+            # axisymmetric axis: u_r = 0 essential; u_x, p natural (the
+            # r-weight of the weak form imposes du_x/dr = 0 for free)
+            mask_v[e][idx] = 0.0
         else:
             raise ValueError(f"unknown BC tag {tag!r}")
 
@@ -245,9 +255,13 @@ def build_mesh(n: int, corners: np.ndarray,
     mask_p = _scatter_min(gid, mask_p, nglobal)
     mask_t = _scatter_min(gid, mask_t, nglobal)
 
+    axisym = any(f.tag == "A" for f in bc_faces)
+    if axisym and np.min(y) < -1e-12:
+        raise ValueError("axisymmetric mesh must lie in r = y >= 0")
     mesh = Mesh2D(n=n, nelem=nelem, x=x, y=y, gid=gid, nglobal=nglobal,
                   mult=mult, mask_u=mask_u, mask_v=mask_v, mask_p=mask_p,
-                  mask_t=mask_t, has_outflow=has_outflow, bc_faces=bc_faces)
+                  mask_t=mask_t, has_outflow=has_outflow, bc_faces=bc_faces,
+                  axisym=axisym)
     mesh.bwn = surface_weights(mesh, DIRICHLET_TAGS)
     return mesh
 
@@ -273,8 +287,9 @@ def surface_weights(mesh: "Mesh2D", tags) -> np.ndarray:
         # orient outward (match the straight-edge normal estimate)
         if nx.mean() * f.normal[0] + ny.mean() * f.normal[1] < 0:
             nx, ny = -nx, -ny
-        bwn[0][f.elem][idx] += basis.w * ds * nx
-        bwn[1][f.elem][idx] += basis.w * ds * ny
+        rw = mesh.y[f.elem][idx] if mesh.axisym else 1.0
+        bwn[0][f.elem][idx] += basis.w * ds * nx * rw
+        bwn[1][f.elem][idx] += basis.w * ds * ny * rw
     return bwn
 
 

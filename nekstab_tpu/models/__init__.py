@@ -4,6 +4,9 @@ from .channel import channel_system
 from .bfs import bfs_mesh, bfs_system
 from .thermosyphon import thermosyphon_system, conduction_ic
 from .flipflop import flipflop_mesh, flipflop_system
+from .jet import jet_system, jet_ic, pulse_wave, rjet_profile
 
 __all__ = ["cylinder_mesh", "cylinder_system", "cavity_system",
-           "channel_system", "bfs_mesh", "bfs_system", "thermosyphon_system", "conduction_ic", "flipflop_mesh", "flipflop_system"]
+           "channel_system", "bfs_mesh", "bfs_system", "thermosyphon_system",
+           "conduction_ic", "flipflop_mesh", "flipflop_system",
+           "jet_system", "jet_ic", "pulse_wave", "rjet_profile"]

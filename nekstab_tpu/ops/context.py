@@ -30,7 +30,7 @@ from ..quadrature import make_basis
                       "multinv", "maskg_vel", "maskg_p", "diag_ag", "bmg",
                       "xcoord", "ycoord", "bm_eig", "gid", "gid_flat",
                       "gs_idx", "p_schwarz", "p_coarse", "bwn", "gs2_rv",
-                      "jd", "wd", "dmet"],
+                      "jd", "wd", "dmet", "axdiag", "rinv", "bm_adj"],
          meta_fields=["n", "nelem", "nglobal", "axis_name", "gs2_plan"])
 @dataclasses.dataclass(frozen=True)
 class SemContext:
@@ -83,9 +83,17 @@ class SemContext:
     # `SIZE` lxd = 3*lx1/2; SURVEY.md §2 "Dealiasing"). None -> collocation.
     jd: jnp.ndarray | None    # (m, n) GLL -> Gauss interpolation
     wd: jnp.ndarray | None    # (m, m) fine quadrature weights outer(wg, wg)
-    dmet: jnp.ndarray | None  # (4, E, m, m) fine-grid metric polynomials
+    dmet: jnp.ndarray | None  # (4|5, E, m, m) fine-grid metric polynomials
                               #  [ys, xs, yr, xr]: jac*(c.grad r) = cx ys - cy xs,
-                              #  jac*(c.grad s) = -cx yr + cy xr
+                              #  jac*(c.grad s) = -cx yr + cy xr; axisymmetric
+                              #  contexts append row 4 = fine radius r
+    # axisymmetric extras (None on planar meshes): extra radial-momentum
+    # viscous diagonal int phi v/r (axis entries 0 — that dof is masked), the
+    # safe reciprocal radius (0 on the axis) for curl-curl / vorticity, and
+    # the strictly positive adjoint weight (bm with axis zeros floored)
+    axdiag: jnp.ndarray | None
+    rinv: jnp.ndarray | None
+    bm_adj: jnp.ndarray | None
 
     @property
     def dtype(self):
@@ -93,7 +101,14 @@ class SemContext:
 
 
 def geometry_factors(mesh: Mesh2D) -> dict[str, np.ndarray]:
-    """Metric terms, Jacobian, mass and stiffness factors (numpy, float64)."""
+    """Metric terms, Jacobian, mass and stiffness factors (numpy, float64).
+
+    Axisymmetric meshes (mesh.axisym, y = r): all quadrature factors carry the
+    cylindrical measure r dx dr — bm, g11/g12/g22 are r-weighted, and `axdiag`
+    holds the extra radial-momentum viscous diagonal int phi v/r dx dr
+    (= int phi (v/r^2) r: the r cancels one singular power; the remaining 1/r
+    diagonal is zeroed at the axis nodes, whose radial dof is masked anyway).
+    Reference: Nek5000 `ifaxis` geometry (SURVEY.md §2 "Axisymmetric")."""
     basis = make_basis(mesh.n)
     D = basis.D
     x, y = mesh.x, mesh.y
@@ -109,16 +124,31 @@ def geometry_factors(mesh: Mesh2D) -> dict[str, np.ndarray]:
     sx = -yr / jac
     sy = xr / jac
     w2 = np.outer(basis.w, basis.w)[None, :, :]
-    bm = w2 * jac
-    g11 = w2 * jac * (rx * rx + ry * ry)
-    g12 = w2 * jac * (rx * sx + ry * sy)
-    g22 = w2 * jac * (sx * sx + sy * sy)
+    rwt = y if mesh.axisym else np.ones_like(y)   # cylindrical radius weight
+    bm = w2 * jac * rwt
+    g11 = w2 * jac * rwt * (rx * rx + ry * ry)
+    g12 = w2 * jac * rwt * (rx * sx + ry * sy)
+    g22 = w2 * jac * rwt * (sx * sx + sy * sy)
+    axdiag = rinv = bm_adj = None
+    if mesh.axisym:
+        on_axis = y < 1e-12 * max(np.ptp(y), 1.0)
+        rsafe = np.where(on_axis, 1.0, y)
+        rinv = np.where(on_axis, 0.0, 1.0 / rsafe)
+        axdiag = w2 * jac * rinv
+        # strictly positive adjoint weight B~: the r-weighted mass vanishes on
+        # the axis, making the B-adjoint ill-defined there; replacing the axis
+        # zeros with a small positive consistent value keeps the adjoint
+        # propagator EXACTLY similar to the transpose (same spectrum as the
+        # direct operator) while B~ ~ B everywhere the measure is nonzero
+        r_floor = 0.5 * y[~on_axis].min()
+        bm_adj = np.where(on_axis, w2 * jac * r_floor, bm)
     # element-local diagonal of the weak Laplacian
     diag_local = (np.einsum("ki,ekj->eij", D * D, g11)
                   + np.einsum("lj,eil->eij", D * D, g22)
                   + 2.0 * np.einsum("i,j,eij->eij", np.diag(D), np.diag(D), g12))
     return dict(D=D, rx=rx, ry=ry, sx=sx, sy=sy, jac=jac, bm=bm,
-                g11=g11, g12=g12, g22=g22, diag_local=diag_local)
+                g11=g11, g12=g12, g22=g22, diag_local=diag_local,
+                axdiag=axdiag, rinv=rinv, bm_adj=bm_adj)
 
 
 def _np_dssum(gid: np.ndarray, u: np.ndarray, nglobal: int) -> np.ndarray:
@@ -186,9 +216,11 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
         da = make_dealias(mesh.n, None if dealias is True else int(dealias))
         # fine-grid metric *polynomials* (exact interpolants of degree-p maps):
         # ys = rx*jac, xs = -ry*jac, yr = -sx*jac, xr = sy*jac
-        met = np.stack([g["rx"] * g["jac"], -g["ry"] * g["jac"],
-                        -g["sx"] * g["jac"], g["sy"] * g["jac"]])
-        metd = np.einsum("ai,bj,keij->keab", da.J, da.J, met)
+        met = [g["rx"] * g["jac"], -g["ry"] * g["jac"],
+               -g["sx"] * g["jac"], g["sy"] * g["jac"]]
+        if mesh.axisym:
+            met.append(mesh.y)   # fine radius: the cylindrical measure weight
+        metd = np.einsum("ai,bj,keij->keab", da.J, da.J, np.stack(met))
         jd, wd = dev(da.J), dev(np.outer(da.wg, da.wg))
         dmet = dev(metd)
     return SemContext(
@@ -206,6 +238,9 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
         diag_ag=dev(diag_ag), bmg=dev(bmg),
         p_schwarz=p_schwarz, p_coarse=p_coarse,
         gs2_plan=gs2_plan, gs2_rv=gs2_rv, jd=jd, wd=wd, dmet=dmet,
+        axdiag=None if g["axdiag"] is None else dev(g["axdiag"]),
+        rinv=None if g["rinv"] is None else dev(g["rinv"]),
+        bm_adj=None if g["bm_adj"] is None else dev(g["bm_adj"]),
         bwn=dev(mesh.bwn if mesh.bwn is not None
                 else np.zeros((2,) + mesh.x.shape)),
         xcoord=dev(mesh.x), ycoord=dev(mesh.y), bm_eig=dev(bm_eig))

@@ -101,7 +101,12 @@ def convect_dealiased(ctx: SemContext, c: jnp.ndarray,
     crd = cxd * ctx.dmet[0] - cyd * ctx.dmet[1]
     csd = -cxd * ctx.dmet[2] + cyd * ctx.dmet[3]
     fd = ctx.wd * (crd * urd + csd * usd)
-    return interp_fine_t(ctx.jd, fd) / ctx.bm
+    if ctx.dmet.shape[0] > 4:
+        fd = fd * ctx.dmet[4]   # axisymmetric: cylindrical measure weight r
+    # safe divisor: axisymmetric bm vanishes at axis nodes, whose pointwise
+    # value is annihilated by the bm-weighting of every downstream consumer
+    bm = jnp.where(ctx.bm == 0, 1.0, ctx.bm)
+    return interp_fine_t(ctx.jd, fd) / bm
 
 
 def strong_div(ctx: SemContext, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

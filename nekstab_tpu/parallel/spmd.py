@@ -58,6 +58,9 @@ def context_specs(ctx: SemContext, axis: str = "e") -> SemContext:
         jd=None if ctx.jd is None else rep,
         wd=None if ctx.wd is None else rep,
         dmet=None if ctx.dmet is None else c4,
+        axdiag=None if ctx.axdiag is None else e3,
+        rinv=None if ctx.rinv is None else e3,
+        bm_adj=None if ctx.bm_adj is None else e3,
         bwn=c4)
 
 

@@ -51,7 +51,10 @@ def make_linear_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
     psolve = _pressure_solver(ctx, cfg, has_outflow)
 
     def helm_local(w, g0):
-        return (g0 / dt) * ctx.bm * w + nu_c * weak_laplacian(ctx, w)
+        out = (g0 / dt) * ctx.bm * w + nu_c * weak_laplacian(ctx, w)
+        if ctx.axdiag is not None:
+            out = out.at[1].add(nu * ctx.axdiag * w[1])
+        return out
 
     def lstep(base_u, sponge, state: NSState, ab, eb, fextra=None):
         u = state.u
@@ -175,13 +178,19 @@ def make_adjoint_propagator(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
     core/matvec.f:249-326 — there a separately discretized adjoint PDE)."""
     prop = make_linear_propagator(ctx, cfg, has_outflow, nsteps)
 
+    # axisymmetric meshes: conjugate by the strictly positive adjoint weight
+    # B~ (bm with its axis zeros floored, ops/context.py) — exactly similar
+    # to the transpose, so the adjoint spectrum matches the direct spectrum
+    # to machine precision even with the degenerate r-weighted measure
+    bmw = ctx.bm if ctx.bm_adj is None else ctx.bm_adj
+
     def adj(base_u, sponge, v):
         def fwd_vel(u0):
             return prop(base_u, sponge, u0)[0]
 
         transpose = jax.linear_transpose(fwd_vel, jnp.zeros_like(v))
-        (w,) = transpose(ctx.bm * v)
-        u_adj = dssum(ctx, w) / ctx.bm_assembled
+        (w,) = transpose(bmw * v)
+        u_adj = dssum(ctx, w) / dssum(ctx, bmw)
         return u_adj, jnp.zeros_like(ctx.bm)
 
     return adj
@@ -220,12 +229,14 @@ def make_adjoint_forced_response(ctx: SemContext, cfg: NSConfig,
     steady-force-sensitivity solve (reference core/sensitivity.f:296-369)."""
     resp = make_forced_response(ctx, cfg, has_outflow, nsteps)
 
+    bmw = ctx.bm if ctx.bm_adj is None else ctx.bm_adj
+
     def aresp(base_u, sponge, w):
         def fwd(f):
             return resp(base_u, sponge, f)
 
         transpose = jax.linear_transpose(fwd, jnp.zeros_like(w))
-        (g,) = transpose(ctx.bm * w)
-        return dssum(ctx, g) / ctx.bm_assembled
+        (g,) = transpose(bmw * w)
+        return dssum(ctx, g) / dssum(ctx, bmw)
 
     return aresp

@@ -56,16 +56,22 @@ def timestep_coeffs(nsteps: int, torder: int, dtype) -> tuple[np.ndarray, np.nda
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["u_bc", "f", "sponge", "sponge_ref"], meta_fields=[])
+         data_fields=["u_bc", "f", "sponge", "sponge_ref", "u_bc_osc"],
+         meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class CaseFields:
     """Per-case field data: BC values, steady body force, sponge layer
-    (reference: userbc/userf callbacks + spng_* arrays, core/utils.f:149-328)."""
+    (reference: userbc/userf callbacks + spng_* arrays, core/utils.f:149-328).
+
+    u_bc_osc supports time-periodic Dirichlet forcing: the effective BC is
+    u_bc + w(t) * u_bc_osc with a per-step scalar sequence w (the reference's
+    pulsed-inlet userbc, examples/tpjet/tpjet.usr userbc pert factor)."""
 
     u_bc: jnp.ndarray        # (2, E, n, n) Dirichlet values (only (1-mask) used)
     f: jnp.ndarray           # (2, E, n, n) steady body force
     sponge: jnp.ndarray      # (E, n, n) sponge ramp chi(x) * strength, >= 0
     sponge_ref: jnp.ndarray  # (2, E, n, n) sponge target state
+    u_bc_osc: jnp.ndarray | None = None  # (2, E, n, n) oscillatory BC shape
 
 
 def zero_case_fields(ctx: SemContext) -> CaseFields:
@@ -95,10 +101,16 @@ def initial_state(ctx: SemContext, u0: jnp.ndarray,
 
 def curl_curl(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
     """curl(curl u) = (d omega/dy, -d omega/dx), omega = v_x - u_y (2D).
-    Only its trace on Dirichlet faces enters (rotational pressure BC)."""
+    Axisymmetric (y = r): (curl omega e_theta)_x = d omega/dr + omega/r; the
+    omega/r correction uses the safe reciprocal radius (omega = 0 on the axis
+    for smooth axisymmetric flow). Only its trace on Dirichlet faces enters
+    (rotational pressure BC)."""
     om = grad(ctx, u[1])[0] - grad(ctx, u[0])[1]
     omx, omy = grad(ctx, om)
-    return jnp.stack([omy, -omx])
+    cc = jnp.stack([omy, -omx])
+    if ctx.rinv is not None:
+        cc = cc.at[0].add(ctx.rinv * om)
+    return cc
 
 
 def convect(ctx: SemContext, c: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
@@ -261,11 +273,20 @@ def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
     psolve = _pressure_solver(ctx, cfg, has_outflow)
 
     def helm_local(w, g0, dt):
-        return (g0 / dt) * ctx.bm * w + nu_c * weak_laplacian(ctx, w)
+        out = (g0 / dt) * ctx.bm * w + nu_c * weak_laplacian(ctx, w)
+        if ctx.axdiag is not None:
+            # axisymmetric radial momentum: + nu * int phi v/r  (the v/r^2
+            # term of the cylindrical vector Laplacian, one r cancelled)
+            out = out.at[1].add(nu * ctx.axdiag * w[1])
+        return out
 
-    def step(case: CaseFields, state: NSState, ab, eb, fextra=None, dt=None):
+    def step(case: CaseFields, state: NSState, ab, eb, fextra=None, dt=None,
+             bcw=None):
         if dt is None:
             dt = cfg.dt
+        u_bc = case.u_bc
+        if case.u_bc_osc is not None and bcw is not None:
+            u_bc = u_bc + bcw * case.u_bc_osc
         # explicit term N(u^n) = -(u.grad)u + f + sponge
         u = state.u
         ncur = (-convect(ctx, u, u) + case.f
@@ -289,7 +310,7 @@ def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
         cc = curl_curl(ctx, u)
         cc_ext = (eb[0] * cc + eb[1] * state.cclag[0]
                   + eb[2] * state.cclag[1])
-        bflux = ctx.bwn[0] * case.u_bc[0] + ctx.bwn[1] * case.u_bc[1]
+        bflux = ctx.bwn[0] * u_bc[0] + ctx.bwn[1] * u_bc[1]
         brot = nu * (ctx.bwn[0] * cc_ext[0] + ctx.bwn[1] * cc_ext[1])
         dp = psolve((weak_div(ctx, uhat[0], uhat[1]) - g0 * bflux) / dt
                     - brot - weak_laplacian(ctx, state.p))
@@ -301,7 +322,7 @@ def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
                 [gradp, jnp.zeros((ncomp - 2,) + px.shape, px.dtype)])
 
         # viscous Helmholtz with Dirichlet lifting
-        u_b = (1.0 - ctx.mask_vel) * case.u_bc
+        u_b = (1.0 - ctx.mask_vel) * u_bc
         rhs_loc = ctx.bm * (uhat / dt - gradp) - helm_local(u_b, g0, dt)
 
         if ctx.gs2_plan is not None:
@@ -359,15 +380,17 @@ def make_advance(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
     ab_seq = jnp.asarray(ab_seq, ctx.dtype)
     eb_seq = jnp.asarray(eb_seq, ctx.dtype)
 
-    def advance(case: CaseFields, state: NSState):
-        def body(st, coeffs):
-            ab, eb = coeffs
-            new_state, _ = step(case, st, ab, eb)
+    def advance(case: CaseFields, state: NSState, bcw_seq=None):
+        def body(st, xs):
+            ab, eb = xs[0], xs[1]
+            bcw = xs[2] if len(xs) > 2 else None
+            new_state, _ = step(case, st, ab, eb, bcw=bcw)
             energy = 0.5 * glsc3(ctx, new_state.u, ctx.bm, new_state.u)
             out = (energy, new_state.u) if collect else energy
             return new_state, out
 
-        return lax.scan(body, state, (ab_seq, eb_seq))
+        xs = (ab_seq, eb_seq) if bcw_seq is None else (ab_seq, eb_seq, bcw_seq)
+        return lax.scan(body, state, xs)
 
     return advance
 
