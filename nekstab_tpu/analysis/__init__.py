@@ -4,6 +4,7 @@ from .postproc import (vorticity, q_criterion, delta_criterion,
                        ZeroCrossing)
 from .sensitivity import (biorthogonalize, wavemaker, bf_sensitivity,
                           steady_force_sensitivity, delta_forcing)
+from .monitor import RunMonitor, WatchdogError, cfl
 
 __all__ = [
     "vorticity", "q_criterion", "delta_criterion", "swirling_strength",
@@ -11,4 +12,5 @@ __all__ = [
     "RunningStats", "drag_lift", "ZeroCrossing",
     "biorthogonalize", "wavemaker", "bf_sensitivity",
     "steady_force_sensitivity", "delta_forcing",
+    "RunMonitor", "WatchdogError", "cfl",
 ]

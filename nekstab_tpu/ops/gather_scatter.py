@@ -70,6 +70,22 @@ def glsum(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
     return s
 
 
+def glmax(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
+    """Global max of all (local) entries across devices (reference glmax)."""
+    s = jnp.max(u)
+    if ctx.axis_name is not None:
+        s = lax.pmax(s, ctx.axis_name)
+    return s
+
+
+def glmin(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
+    """Global min (reference glmin)."""
+    s = jnp.min(u)
+    if ctx.axis_name is not None:
+        s = lax.pmin(s, ctx.axis_name)
+    return s
+
+
 def glsc3(ctx: SemContext, a: jnp.ndarray, w: jnp.ndarray,
           b: jnp.ndarray) -> jnp.ndarray:
     """Weighted global dot sum(a * w * b) — the reference's glsc3. With w the

@@ -140,13 +140,16 @@ def make_linear_propagator(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
     exp(tau L) on a velocity perturbation, tau = nsteps*dt, about a frozen
     base flow (reference 'forward_linearized_map' with a cold BDF start).
 
-    base_u may be (2,E,n,n) (steady) or (nsteps,2,E,n,n) (Floquet orbit
-    replay, reference core/matvec.f:200-236)."""
+    base_u may be (2,E,n,n) (steady), (nsteps,2,E,n,n) (Floquet orbit replay,
+    reference core/matvec.f:200-236), or a FourierOrbit (compressed periodic
+    orbit, reconstructed per step inside the scan — solver/orbit.py)."""
+    from .orbit import FourierOrbit, orbit_at
     lstep = make_linear_step(ctx, cfg, has_outflow)
     ab_seq, eb_seq = _coeff_seqs(ctx, cfg, nsteps)
 
     def prop(base_u, sponge, u0, p0=None):
-        floquet = base_u.ndim == 5
+        fourier = isinstance(base_u, FourierOrbit)
+        floquet = (not fourier) and base_u.ndim == 5
         if p0 is None:
             p0 = jnp.zeros_like(ctx.bm)
         z = jnp.zeros((2,) + u0.shape, u0.dtype)
@@ -157,12 +160,20 @@ def make_linear_propagator(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
         def body(st, xs):
             if floquet:
                 ab, eb, bu = xs
+            elif fourier:
+                ab, eb, j = xs
+                bu = orbit_at(base_u, j, nsteps)
             else:
                 ab, eb = xs
                 bu = base_u
             return lstep(bu, sponge, st, ab, eb), None
 
-        xs = (ab_seq, eb_seq, base_u) if floquet else (ab_seq, eb_seq)
+        if floquet:
+            xs = (ab_seq, eb_seq, base_u)
+        elif fourier:
+            xs = (ab_seq, eb_seq, jnp.arange(nsteps))
+        else:
+            xs = (ab_seq, eb_seq)
         final, _ = lax.scan(body, state, xs)
         return final.u, final.p
 
