@@ -184,7 +184,21 @@ def build_mesh(n: int, corners: np.ndarray,
     for e in range(nelem):
         ec = {f: c for (ee, f), c in curves.items() if ee == e}
         x[e], y[e] = gordon_hall(corners[e], ec, basis.x)
+    return mesh_from_coords(x, y, bc_fn=bc_fn, periodic_map=periodic_map)
 
+
+def mesh_from_coords(x: np.ndarray, y: np.ndarray,
+                     bc_fn: Callable[[float, float, np.ndarray], str] | None = None,
+                     periodic_map: Callable | None = None) -> Mesh2D:
+    """Assemble a Mesh2D from prescribed GLL node coordinates (E, n, n).
+
+    This is the ingestion path for externally generated meshes — in
+    particular the reference toolchain's, whose field files carry the full
+    (curved) GLL geometry (io/nekfile.py): connectivity is recovered by
+    coordinate matching, boundary faces topologically, BC tags from bc_fn.
+    The reference obtains the same from .re2/.ma2 + gslib (SURVEY.md L0/L1).
+    """
+    nelem, n = x.shape[0], x.shape[1]
     diam = max(np.ptp(x), np.ptp(y))
     tol = 1e-8 * max(diam, 1.0)
     gid, nglobal = _global_numbering(x, y, periodic_map, tol)

@@ -144,6 +144,59 @@ def cylinder_system(n: int = 6, re: float = 50.0, dt: float = 2.5e-3,
     return sys
 
 
+def cylinder_reference_system(fld_path: str, *, re: float = 50.0,
+                              dt: float = 2.5e-3,
+                              sponge_xl: float = 5.0, sponge_xr: float = 5.0,
+                              sponge_strength: float = 1.7,
+                              dtype=jnp.float64,
+                              vtol: float = 1e-9, ptol: float = 1e-7,
+                              dealias: bool | int = True,
+                              pressure_precond: bool = True,
+                              **cfg_kw):
+    """FlowSystem on the REFERENCE discretization: ingest the curved GLL
+    geometry carried by a reference field file (e.g. the shipped converged
+    base flow BF_1cyl0.f00001, examples/cylinder/stability/direct) via
+    io/nekfile.py + mesh_from_coords, with the reference case's BCs and box
+    sponge (1cyl.par: sponge L/R = userParam08/09 = 5, strength = 1.7).
+    Returns (sys, base_u): the system and the file's velocity field — so the
+    eigensolver can run about the reference's own converged base flow for a
+    like-for-like gold-value comparison (BASELINE.md)."""
+    from ..io.nekfile import read_fld
+    from ..mesh import mesh_from_coords
+    from ..mesh_blocks import canonicalize_coords
+
+    d = read_fld(fld_path)
+    # recover the structured-block layout so the fast slice-exchange
+    # gather-scatter applies (mesh_blocks.py; ~5 blocks for this mesh)
+    x, y, blocks, tf = canonicalize_coords(d["x"], d["y"])
+    xmax = x.max()
+
+    def bc(xm, ym, nrm):
+        if np.hypot(xm, ym) < 1.0:
+            return "W"                      # cylinder wall (D=1 at origin)
+        if xm > xmax - 1e-6 * max(abs(xmax), 1.0):
+            return "O"
+        return "V"                          # freestream Dirichlet
+
+    mesh = mesh_from_coords(x, y, bc_fn=bc)
+    mesh.blocks = blocks
+    cfg = NSConfig(re=re, dt=dt, vtol=vtol, ptol=ptol, **cfg_kw)
+    spng = sponge_fun_box(mesh.x, mesh.y, xl=sponge_xl, xr=sponge_xr)
+    sys = FlowSystem(mesh, cfg, None, dtype=dtype, sponge_fun=spng,
+                     sponge_strength=sponge_strength, dealias=dealias)
+    ctx = sys.ctx
+    u_bc = jnp.asarray(dirichlet_values(
+        mesh, {"V": lambda xx, yy: (np.ones_like(xx), np.zeros_like(xx))}),
+        ctx.dtype)
+    ones = jnp.ones_like(ctx.bm)
+    u_inf = jnp.stack([ones, jnp.zeros_like(ctx.bm)])
+    sys.case = CaseFields(u_bc=u_bc, f=jnp.zeros_like(u_inf),
+                          sponge=sponge_strength * sys.sponge_fun,
+                          sponge_ref=u_inf)
+    base_u = jnp.asarray(np.stack([tf(d["u"]), tf(d["v"])]), ctx.dtype)
+    return sys, base_u
+
+
 def freestream_ic(sys: FlowSystem):
     """Uniform (1,0) initial condition respecting the Dirichlet BCs."""
     ctx = sys.ctx
