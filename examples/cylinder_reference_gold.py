@@ -81,7 +81,19 @@ def stage_eig(fld, tpu, dt, k_dim, tau, tol, schur_tgt, restarts):
     v0 = add_noise(ctx, seed=7)
     acfg = ArnoldiConfig(k_dim=k_dim, eigen_tol=tol, schur_tgt=schur_tgt,
                          max_restarts=restarts, maxmodes=8)
-    ks = krylov_schur(space, v0, acfg)
+    t_col = [time.time()]
+
+    def progress(m, Q, H):
+        now = time.time()
+        if m % 10 == 0:
+            ev = np.linalg.eigvals(np.asarray(H[:m, :m]))
+            lead = np.log(ev[np.argmax(np.abs(ev))]) / (nsteps * dt)
+            print(f"  [arnoldi] m={m} lead sigma={lead.real:+.6e} "
+                  f"omega={abs(lead.imag):.6e} ({now - t_col[0]:.0f}s)",
+                  flush=True)
+        t_col[0] = now
+
+    ks = krylov_schur(space, v0, acfg, callback=progress)
     lam = log_transform(ks.evals, tau=nsteps * dt)
     order = np.argsort(-lam.real)
     lam, rr = lam[order], ks.residuals[order]
