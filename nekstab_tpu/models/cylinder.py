@@ -170,15 +170,22 @@ def cylinder_reference_system(fld_path: str, *, re: float = 50.0,
     # gather-scatter applies (mesh_blocks.py; ~5 blocks for this mesh)
     x, y, blocks, tf = canonicalize_coords(d["x"], d["y"])
     xmax = x.max()
+    ymin, ymax = y.min(), y.max()
 
     def bc(xm, ym, nrm):
         if np.hypot(xm, ym) < 1.0:
             return "W"                      # cylinder wall (D=1 at origin)
         if xm > xmax - 1e-6 * max(abs(xmax), 1.0):
             return "O"
-        return "V"                          # freestream Dirichlet
+        return "V"                          # inflow Dirichlet
 
-    mesh = mesh_from_coords(x, y, bc_fn=bc)
+    # the reference case is PERIODIC in y (1cyl.re2 'P' faces at y = +/-16);
+    # fold the top boundary onto the bottom in the global numbering
+    def pmap(xx, yy):
+        return xx, np.where(np.isclose(yy, ymax, atol=1e-9 * (ymax - ymin)),
+                            ymin, yy)
+
+    mesh = mesh_from_coords(x, y, bc_fn=bc, periodic_map=pmap)
     mesh.blocks = blocks
     cfg = NSConfig(re=re, dt=dt, vtol=vtol, ptol=ptol, **cfg_kw)
     spng = sponge_fun_box(mesh.x, mesh.y, xl=sponge_xl, xr=sponge_xr)
