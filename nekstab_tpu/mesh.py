@@ -149,12 +149,45 @@ class Mesh2D:
 
 def _global_numbering(x: np.ndarray, y: np.ndarray,
                       periodic_map: Callable | None,
-                      tol: float) -> tuple[np.ndarray, int]:
+                      tol: float, robust: bool = False
+                      ) -> tuple[np.ndarray, int]:
     xx, yy = (x, y) if periodic_map is None else periodic_map(x, y)
-    key = np.stack([np.round(xx / tol), np.round(yy / tol)], axis=-1)
-    flat = key.reshape(-1, 2)
-    _, gid = np.unique(flat, axis=0, return_inverse=True)
-    return gid.reshape(x.shape).astype(np.int32), int(gid.max()) + 1
+    if robust:
+        gid = _robust_numbering(xx, yy, tol)
+    else:
+        key = np.stack([np.round(xx / tol), np.round(yy / tol)], axis=-1)
+        _, gid = np.unique(key.reshape(-1, 2), axis=0, return_inverse=True)
+        gid = gid.reshape(x.shape).astype(np.int32)
+    return gid, int(gid.max()) + 1
+
+
+def _robust_numbering(xx: np.ndarray, yy: np.ndarray, tol: float):
+    """Tolerance-robust coordinate matching (union-find over a KDTree
+    neighbor graph) — for INGESTED meshes whose coordinates carry roundoff
+    noise (e.g. float32-truncated .re2 corners) that can straddle quantized
+    bins. tol must be below the smallest genuine node separation."""
+    from scipy.spatial import cKDTree
+
+    pts = np.stack([xx.reshape(-1), yy.reshape(-1)], axis=1)
+    tree = cKDTree(pts)
+    pairs = tree.query_pairs(r=tol, output_type="ndarray")
+    parent = np.arange(pts.shape[0])
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(pts.shape[0])])
+    _, gid = np.unique(roots, return_inverse=True)
+    return gid.reshape(xx.shape).astype(np.int32)
 
 
 def _scatter_min(gid: np.ndarray, vals: np.ndarray, nglobal: int) -> np.ndarray:
@@ -189,7 +222,8 @@ def build_mesh(n: int, corners: np.ndarray,
 
 def mesh_from_coords(x: np.ndarray, y: np.ndarray,
                      bc_fn: Callable[[float, float, np.ndarray], str] | None = None,
-                     periodic_map: Callable | None = None) -> Mesh2D:
+                     periodic_map: Callable | None = None,
+                     match_tol: float | None = None) -> Mesh2D:
     """Assemble a Mesh2D from prescribed GLL node coordinates (E, n, n).
 
     This is the ingestion path for externally generated meshes — in
@@ -200,8 +234,12 @@ def mesh_from_coords(x: np.ndarray, y: np.ndarray,
     """
     nelem, n = x.shape[0], x.shape[1]
     diam = max(np.ptp(x), np.ptp(y))
-    tol = 1e-8 * max(diam, 1.0)
-    gid, nglobal = _global_numbering(x, y, periodic_map, tol)
+    if match_tol is None:
+        gid, nglobal = _global_numbering(x, y, periodic_map,
+                                         1e-8 * max(diam, 1.0))
+    else:
+        gid, nglobal = _global_numbering(x, y, periodic_map, match_tol,
+                                         robust=True)
 
     mult = np.zeros(nglobal)
     np.add.at(mult, gid.ravel(), 1.0)

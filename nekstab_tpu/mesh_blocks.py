@@ -216,14 +216,19 @@ def apply_canonicalization(arr: np.ndarray, perm: np.ndarray,
     return out[..., perm, :, :]
 
 
-def canonicalize_coords(x: np.ndarray, y: np.ndarray):
+def canonicalize_coords(x: np.ndarray, y: np.ndarray,
+                        match_tol: float | None = None):
     """Recover blocks from raw GLL coordinates; returns (x2, y2, blocks, tf)
     with tf(field) mapping any (..., E, n, n) array of the ORIGINAL element
-    order/orientation into the canonical layout."""
+    order/orientation into the canonical layout. match_tol: absolute
+    coordinate-matching tolerance for noisy ingested geometry."""
     # provisional numbering just for adjacency detection
     from .mesh import _global_numbering
     diam = max(np.ptp(x), np.ptp(y))
-    gid, _ = _global_numbering(x, y, None, 1e-8 * max(diam, 1.0))
+    if match_tol is None:
+        gid, _ = _global_numbering(x, y, None, 1e-8 * max(diam, 1.0))
+    else:
+        gid, _ = _global_numbering(x, y, None, match_tol, robust=True)
     perm, rots, blocks = detect_blocks(gid)
 
     def tf(field):

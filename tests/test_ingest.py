@@ -85,6 +85,19 @@ def test_block_recovery(mesh_fn, name):
     assert np.max(np.abs(got - _oracle_dssum(m, u))) < 1e-12
 
 
+def test_robust_matching_noisy_coords():
+    """Float32-level coordinate noise (as found in real .re2 files) must not
+    split shared dofs when a match tolerance is given."""
+    m0 = box_mesh(5, 3, 2, 0.0, 1.5, 0.0, 1.0, bc_fn=lambda x, y, n: "W")
+    rng = np.random.default_rng(5)
+    x = m0.x + 3e-7 * rng.normal(size=m0.x.shape)
+    y = m0.y + 3e-7 * rng.normal(size=m0.y.shape)
+    m = mesh_from_coords(x, y, bc_fn=lambda xx, yy, n: "W", match_tol=1e-5)
+    assert m.nglobal == m0.nglobal
+    assert np.array_equal(np.sort(m.mult.reshape(-1)),
+                          np.sort(m0.mult.reshape(-1)))
+
+
 def test_block_recovery_scrambled():
     """Recovery is invariant to element order and orientation: scramble a
     mesh (permute elements, rotate node blocks) and recover a working plan."""
