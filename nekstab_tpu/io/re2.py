@@ -37,9 +37,9 @@ def read_re2(path: str) -> dict:
     bcs {(e, face_name): (cbc, params)}, periodic pairs."""
     with open(path, "rb") as fh:
         hdr = fh.read(80).decode("ascii", errors="replace")
-        if not hdr.startswith("#v002"):
+        if not (hdr.startswith("#v002") or hdr.startswith("#v003")):
             raise ValueError(f"unsupported .re2 version: {hdr[:10]!r} "
-                             "(only #v002 little-endian)")
+                             "(only #v002/#v003 little-endian)")
         tok = hdr.split()
         nelgt, ldim = int(tok[1]), int(tok[2])
         tag = np.fromfile(fh, dtype="<f4", count=1)[0]
@@ -76,6 +76,7 @@ def read_re2(path: str) -> dict:
                 raise ValueError(f"curve type {ctype!r} not supported yet")
 
         bcs = {}
+        bids = {}
         nbc_arr = np.fromfile(fh, dtype="<f8", count=1)
         nbc = int(nbc_arr[0]) if nbc_arr.size else 0
         for _ in range(nbc):
@@ -83,17 +84,28 @@ def read_re2(path: str) -> dict:
             vals = np.frombuffer(rec[:56], dtype="<f8")
             cbc = rec[56:64].decode("ascii", errors="replace")[:3].strip()
             e, f = int(vals[0]) - 1, int(vals[1])
-            bcs[(e, _FACE_NAME[f])] = (cbc, tuple(float(v)
-                                                  for v in vals[2:7]))
-    return dict(nelgt=nelgt, corners=corners, curves=curves, bcs=bcs)
+            if cbc == "MSH":
+                # v003 boundaryID mesh (Nek setbc/boundaryTypeMap style):
+                # the integer boundary id rides in the last param slot
+                bids[(e, _FACE_NAME[f])] = int(vals[6])
+            else:
+                bcs[(e, _FACE_NAME[f])] = (cbc, tuple(float(v)
+                                                      for v in vals[2:7]))
+    return dict(nelgt=nelgt, corners=corners, curves=curves, bcs=bcs,
+                bids=bids)
 
 
 def mesh_from_re2(path: str, n: int, recover_blocks: bool = True,
                   cbc_map: dict | None = None,
+                  bid_map: dict | None = None,
                   match_tol: float | None = None):
     """Build a Mesh2D of order n from a .re2 file: Gordon-Hall geometry from
     the file's corners + arcs, BC tags from the file's cbc records, periodic
-    faces folded by midpoint translation matching, blocks recovered."""
+    faces folded by midpoint translation matching, blocks recovered.
+
+    bid_map: {boundaryID: tag} for v003 boundaryID meshes — the information
+    the reference supplies in user code (e.g. back_fstep bfs.usr usrdat2
+    setbc(4,1,'v')/setbc(2,1,'O')/setbc(3,1,'W'))."""
     from ..mesh import (_FACE_CORNERS as FC, build_mesh, face_index,
                         mesh_from_coords, gordon_hall)
     from ..quadrature import make_basis
@@ -154,6 +166,15 @@ def mesh_from_re2(path: str, n: int, recover_blocks: bool = True,
                if cbc != "P" and cmap.get(cbc) is None}
     if unknown:
         raise ValueError(f"unmapped cbc codes {unknown}; pass cbc_map")
+    if raw["bids"]:
+        ids = sorted({b for b in raw["bids"].values()})
+        if bid_map is None or any(i not in bid_map for i in ids):
+            raise ValueError(
+                f"boundaryID mesh (v003): pass bid_map covering ids {ids} "
+                "(the reference supplies this via setbc in usrdat2)")
+        bc_lookup.update({(e, f): bid_map[b]
+                          for (e, f), b in raw["bids"].items()
+                          if bid_map[b] != "P"})
 
     # BC lookup keyed by the straight endpoint midpoint — the same quantity
     # mesh_from_coords hands to bc_fn — quantized for float-safe matching

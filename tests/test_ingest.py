@@ -98,6 +98,83 @@ def test_robust_matching_noisy_coords():
                           np.sort(m0.mult.reshape(-1)))
 
 
+def _write_re2(path, corners, curves=(), bcs=(), version=b"#v002"):
+    """Synthesize a minimal little-endian .re2 (2D) for parser tests.
+    curves: (ieg, iside, radius); bcs: (ieg, iside, params5, cbc3)."""
+    import struct
+    E = corners.shape[0]
+    hdr = (version + f" {E:8d}  2 {E:8d} hdr".encode()).ljust(80)
+    with open(path, "wb") as fh:
+        fh.write(hdr)
+        np.asarray([6.54321], "<f4").tofile(fh)
+        for e in range(E):
+            rec = np.concatenate([[0.0], corners[e, :, 0], corners[e, :, 1]])
+            np.asarray(rec, "<f8").tofile(fh)
+        np.asarray([float(len(curves))], "<f8").tofile(fh)
+        for (ieg, iside, rad) in curves:
+            np.asarray([ieg, iside, rad, 0, 0, 0, 0], "<f8").tofile(fh)
+            fh.write(b"C       ")
+        np.asarray([float(len(bcs))], "<f8").tofile(fh)
+        for (ieg, iside, params, cbc) in bcs:
+            np.asarray([ieg, iside] + list(params), "<f8").tofile(fh)
+            fh.write(cbc.encode().ljust(8))
+
+
+def test_re2_roundtrip_parse(tmp_path):
+    """Two-element strip with a circular-arc edge and explicit cbc records:
+    the parser must reproduce geometry, arc centre and BC tags."""
+    from nekstab_tpu.io.re2 import mesh_from_re2, read_re2
+    corners = np.array([
+        [[0.0, 1.0], [1.0, 1.0], [1.0, 2.0], [0.0, 2.0]],
+        [[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0]],
+    ])
+    # arc on elem 1 face 1 (S edge (0,1)->(1,1)), radius -1.414.. centred
+    # right of the directed edge: centre (0.5, 1-1) = below
+    rad = np.hypot(0.5, 1.0)
+    bcs = []
+    for e, sides in ((1, [1, 3, 4]), (2, [1, 2, 3])):
+        for s in sides:
+            bcs.append((e, s, [0.0] * 5, "W"))
+    path = str(tmp_path / "strip.re2")
+    _write_re2(path, corners, curves=[(1, 1, -rad)], bcs=bcs)
+    raw = read_re2(path)
+    assert raw["nelgt"] == 2
+    kind, xc, yc = raw["curves"][(0, "S")]
+    assert kind == "arc"
+    assert (xc, yc) == pytest.approx((0.5, 0.0), abs=1e-12)
+    m = mesh_from_re2(path, n=5, recover_blocks=False)
+    assert len(m.faces_with_tag("W")) == 6
+    # curved S edge of elem 0 lies on the circle of radius rad about (.5, 0)
+    from nekstab_tpu.mesh import face_index
+    idx = face_index("S", 5)
+    r = np.hypot(m.x[0][idx] - 0.5, m.y[0][idx])
+    assert np.allclose(r, rad, atol=1e-12)
+
+
+def test_re2_v003_boundary_ids(tmp_path):
+    from nekstab_tpu.io.re2 import mesh_from_re2
+    corners = np.array([
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]],
+        [[1.0, 0.0], [2.0, 0.0], [2.0, 1.0], [1.0, 1.0]],
+    ])
+    import struct
+    path = str(tmp_path / "bid.re2")
+    # v003: MSH records with boundary id in the last param slot
+    bcs = []
+    for e, sides in ((1, [1, 3, 4]), (2, [1, 2, 3])):
+        for s in sides:
+            bid = 4 if (e, s) == (1, 4) else (2 if (e, s) == (2, 2) else 3)
+            bcs.append((e, s, [0, 0, 0, 0, float(bid)], "MSH"))
+    _write_re2(path, corners, bcs=bcs, version=b"#v003")
+    with pytest.raises(ValueError):
+        mesh_from_re2(path, n=4, recover_blocks=False)   # no bid_map
+    m = mesh_from_re2(path, n=4, recover_blocks=False,
+                      bid_map={2: "O", 3: "W", 4: "V"})
+    assert len(m.faces_with_tag("V")) == 1
+    assert len(m.faces_with_tag("O")) == 1
+    assert len(m.faces_with_tag("W")) == 4 and m.has_outflow
+
+
 def test_block_recovery_scrambled():
     """Recovery is invariant to element order and orientation: scramble a
     mesh (permute elements, rotate node blocks) and recover a working plan."""
