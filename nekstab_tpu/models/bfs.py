@@ -62,3 +62,30 @@ def bfs_system(n: int = 6, re: float = 500.0, dt: float = 2e-3, *,
     sys_.case = CaseFields(u_bc=u_bc, f=z2, sponge=jnp.zeros_like(ctx.bm),
                            sponge_ref=z2)
     return sys_
+
+
+def bfs_reference_system(re2_path: str, n: int = 6, re: float = 500.0,
+                         dt: float = 2e-3, *, dtype=jnp.float64,
+                         vtol: float = 1e-9, ptol: float = 1e-8,
+                         dealias: bool | int = True,
+                         **cfg_kw) -> FlowSystem:
+    """FlowSystem on the REFERENCE back_fstep discretization: ingest the
+    v003 .re2 (examples/back_fstep/baseflow/bfs.re2) with the boundary-id
+    table the reference sets in bfs.usr usrdat2 (setbc: 4 -> inflow 'v',
+    2 -> outflow 'O', 3 -> wall 'W') and the same parabolic inflow
+    4 y (1 - y) (compute_inflow, bfs.usr)."""
+    from ..io.re2 import mesh_from_re2
+    mesh = mesh_from_re2(re2_path, n=n,
+                         bid_map={1: "W", 2: "O", 3: "W", 4: "V"})
+    cfg = NSConfig(re=re, dt=dt, vtol=vtol, ptol=ptol, **cfg_kw)
+    sys_ = FlowSystem(mesh, cfg, None, dtype=dtype, dealias=dealias)
+    ctx = sys_.ctx
+
+    def inflow(x, y):
+        return 4.0 * y * (1.0 - y), np.zeros_like(x)
+
+    u_bc = jnp.asarray(dirichlet_values(mesh, {"V": inflow}), ctx.dtype)
+    z2 = jnp.zeros_like(u_bc)
+    sys_.case = CaseFields(u_bc=u_bc, f=z2, sponge=jnp.zeros_like(ctx.bm),
+                           sponge_ref=z2)
+    return sys_

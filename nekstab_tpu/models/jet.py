@@ -94,6 +94,38 @@ def jet_system(n: int = 7, re: float = 2005.0, dt: float = 2.5e-3,
     return sys
 
 
+def jet_reference_system(re2_path: str, n: int = 7, re: float = 2005.0,
+                         dt: float = 2e-3, *, sponge_xr: float = 10.0,
+                         sponge_strength: float = 1.0,
+                         theta0: float = THETA0, dtype=jnp.float64,
+                         vtol: float = 1e-9, ptol: float = 1e-8,
+                         dealias: bool | int = True,
+                         **cfg_kw) -> FlowSystem:
+    """FlowSystem on the REFERENCE tpjet discretization: ingest the .re2
+    (examples/tpjet/baseflow/tdf/tpjet.re2 — 4800 elements, one structured
+    block, axis 'A' faces) with the reference's tanh inlet profile and
+    pulsed-inlet shape (tpjet.usr userbc), viscosity -2005 (tpjet.par)."""
+    from ..io.re2 import mesh_from_re2
+    mesh = mesh_from_re2(re2_path, n=n)
+    assert mesh.axisym, "tpjet mesh must carry axis 'A' faces"
+    cfg = NSConfig(re=re, dt=dt, vtol=vtol, ptol=ptol, **cfg_kw)
+    spng = sponge_fun_box(mesh.x, mesh.y, xr=sponge_xr)
+    sys = FlowSystem(mesh, cfg, None, dtype=dtype, sponge_fun=spng,
+                     sponge_strength=sponge_strength, dealias=dealias)
+    ctx = sys.ctx
+    u_bc = jnp.asarray(dirichlet_values(
+        mesh, {"V": lambda x, y: (rjet_profile(y, theta0),
+                                  np.zeros_like(y))}), ctx.dtype)
+    uref = jnp.stack([jnp.asarray(rjet_profile(np.asarray(ctx.ycoord),
+                                               theta0), ctx.dtype),
+                      jnp.zeros_like(ctx.bm)])
+    sys.case = CaseFields(u_bc=u_bc, f=jnp.zeros_like(uref),
+                          sponge=sponge_strength * sys.sponge_fun,
+                          sponge_ref=uref,
+                          u_bc_osc=PULSE_AMPLITUDE * u_bc)
+    return sys
+
+
 def jet_ic(sys: FlowSystem):
     """Initial condition: the inlet profile everywhere (reference useric,
     tpjet.usr: ux = ubb, uy = 0)."""
