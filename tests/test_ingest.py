@@ -175,6 +175,28 @@ def test_re2_v003_boundary_ids(tmp_path):
     assert len(m.faces_with_tag("W")) == 4 and m.has_outflow
 
 
+_REF = "/root/reference/examples"
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(_REF),
+                    reason="reference tree not mounted")
+def test_reference_meshes_ingest():
+    """All three reference benchmark meshes build (cylinder v002 arcs +
+    periodic; tpjet axisym; BFS v003 boundary ids) with BC counts matching
+    the files' own records."""
+    from nekstab_tpu.io.re2 import mesh_from_re2
+    m = mesh_from_re2(f"{_REF}/cylinder/stability/direct/1cyl.re2", n=6)
+    assert (m.nelem, len(m.faces_with_tag("W")),
+            len(m.faces_with_tag("V")), len(m.faces_with_tag("O"))) \
+        == (1996, 16, 30, 30)
+    assert m.blocks is not None
+    mj = mesh_from_re2(f"{_REF}/tpjet/baseflow/tdf/tpjet.re2", n=5)
+    assert mj.axisym and mj.nelem == 4800 and len(mj.blocks) == 1
+    mb = mesh_from_re2(f"{_REF}/back_fstep/baseflow/bfs.re2", n=5,
+                       bid_map={1: "W", 2: "O", 3: "W", 4: "V"})
+    assert mb.nelem == 1670 and mb.has_outflow
+
+
 def test_block_recovery_scrambled():
     """Recovery is invariant to element order and orientation: scramble a
     mesh (permute elements, rotate node blocks) and recover a working plan."""
