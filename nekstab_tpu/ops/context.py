@@ -76,9 +76,9 @@ class SemContext:
     p_coarse: jnp.ndarray | None    # (E, E) coarse-space inverse
     bwn: jnp.ndarray          # (2, E, n, n) Dirichlet-face normal weights
     # structured-block gather-scatter (ops/gslib2.py): static plan tuple and
-    # the dense vertex-incidence matrix; None -> unstructured fallback
+    # the (vidx, vgid) corner-vertex gather tables; None -> unstructured
     gs2_plan: tuple | None
-    gs2_rv: jnp.ndarray | None
+    gs2_rv: tuple | None
     # over-integration dealiasing of advection (reference: Nek5000 lxd grid,
     # `SIZE` lxd = 3*lx1/2; SURVEY.md §2 "Dealiasing"). None -> collocation.
     jd: jnp.ndarray | None    # (m, n) GLL -> Gauss interpolation
@@ -208,7 +208,7 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
     from .gslib2 import build_plan
     gs2_plan, gs2_rv = build_plan(mesh)
     if gs2_rv is not None:
-        gs2_rv = dev(gs2_rv)
+        gs2_rv = tuple(jnp.asarray(a) for a in gs2_rv)  # int gather tables
 
     jd = wd = dmet = None
     if dealias:

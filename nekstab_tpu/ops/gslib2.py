@@ -11,14 +11,18 @@ decomposes into:
      array SLICE exchanges — in-block neighbours and auto-detected
      block-to-block seams (including O-grid ring closure, handled as a seam
      of the block with itself);
-  3. vertex dofs (element corners, any multiplicity): one small dense
-     sandwich R^T (R c) on the extracted corner array (R is the 0/1
-     vertex-incidence matrix, ~NV x 4E — a few MB, one MXU matmul).
+  3. vertex dofs (element corners, any multiplicity): gather-only
+     sum/broadcast over the unique corner vertices via the qsum/qcopy
+     primitives (ops/gslib.py) on the tiny (4E,) corner slot array.
+     (A dense NV x 4E incidence sandwich was tried first: at the reference
+     cylinder mesh size that constant is ~130 MB in f64 and its two matmuls
+     per dssum dominated the whole CG iteration — HBM/DRAM bound.)
 
-All three are slices/pads/matmuls: fast on TPU, fast to compile, and
-transposed by JAX into the same op class (dssum is symmetric). The seam
-table is derived purely from the global numbering (edge-key matching), and
-the whole plan is verified against the index-table dssum at build time.
+All three are slices/pads/gathers: fast on TPU, fast to compile, and
+transposed by JAX into the same op class (dssum is symmetric; qsum/qcopy
+carry registered exact transposes). The seam table is derived purely from
+the global numbering (edge-key matching), and the whole plan is verified
+against the index-table dssum at build time.
 
 This is the framework's production "gslib" (SURVEY.md §2.4 hard part #2);
 ops/gslib.py remains as the unstructured fallback and build-time oracle.
@@ -62,9 +66,10 @@ def _side_strips(gid_b, side):
 
 
 def build_plan(mesh):
-    """Returns (plan, Rv) — plan is a hashable nested tuple:
+    """Returns (plan, vtab) — plan is a hashable nested tuple:
     (n, blocks, seams); seams are
-    (blkA, sideA, ta0, length, blkB, sideB, tb0, step, node_flip)."""
+    (blkA, sideA, ta0, length, blkB, sideB, tb0, step, node_flip);
+    vtab = (vidx, vgid) gather tables for the corner-vertex exchange."""
     if mesh.blocks is None:
         return None, None
     n = mesh.n
@@ -131,14 +136,15 @@ def build_plan(mesh):
         seam_specs.append((a[0], a[1], a[2], length,
                            b[0], b[1], b[2], step, flip))
 
-    # --- vertex incidence matrix on corner slots -------------------------
+    # --- vertex gather tables on corner slots -----------------------------
+    from .gslib import build_gs_tables
     gc = mesh.gid[:, ::n - 1, ::n - 1].reshape(-1)      # (4E,)
     verts, inv = np.unique(gc, return_inverse=True)
-    Rv = np.zeros((len(verts), gc.size))
-    Rv[inv, np.arange(gc.size)] = 1.0
+    vidx = build_gs_tables(inv.reshape(-1, 1), len(verts))
+    vgid = inv.astype(np.int32)
 
     plan = (n, blocks, tuple(seam_specs))
-    return plan, Rv
+    return plan, (vidx, vgid)
 
 
 # ---------------------------------------------------------------------------
@@ -201,16 +207,18 @@ def _seam_place(strips, t0, length, step, val):
         jnp.flip(val, axis=-2))
 
 
-def dssum2(u, plan, Rv):
+def dssum2(u, plan, vtab):
     """Direct-stiffness sum via the structured plan. u: (..., E, n, n)."""
+    from .gslib import qcopy, qsum
     n, blocks, seams = plan
+    vidx, vgid = vtab
     lead = u.shape[:-3]
 
-    # ---- 1. vertex dofs: dense incidence sandwich on corner slots -------
+    # ---- 1. vertex dofs: gather-only sum/broadcast on corner slots ------
     corners = u[..., ::n - 1, ::n - 1]
     cflat = corners.reshape(lead + (-1,))
-    tot = jnp.einsum("vs,...s->...v", Rv, cflat)
-    newc = jnp.einsum("vs,...v->...s", Rv, tot)
+    tot = qsum(cflat, vidx, vgid)
+    newc = qcopy(tot, vidx, vgid)
     newc = newc.reshape(corners.shape)
     c00 = newc[..., 0:1, 0:1]
     c01 = newc[..., 0:1, 1:2]

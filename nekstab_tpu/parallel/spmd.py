@@ -54,7 +54,7 @@ def context_specs(ctx: SemContext, axis: str = "e") -> SemContext:
         p_schwarz=None if ctx.p_schwarz is None else e3,
         p_coarse=None if ctx.p_coarse is None else e3,
         gs2_plan=ctx.gs2_plan,
-        gs2_rv=None if ctx.gs2_rv is None else rep,
+        gs2_rv=None if ctx.gs2_rv is None else (rep, rep),
         jd=None if ctx.jd is None else rep,
         wd=None if ctx.wd is None else rep,
         dmet=None if ctx.dmet is None else c4,
