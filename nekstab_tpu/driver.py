@@ -41,12 +41,14 @@ class FlowSystem:
     def __init__(self, mesh: Mesh2D, cfg: NSConfig, case: CaseFields | None,
                  *, dtype=jnp.float64, axis_name: str | None = None,
                  sponge_fun: np.ndarray | None = None,
-                 sponge_strength: float = 0.0, dealias: bool | int = False):
+                 sponge_strength: float = 0.0, dealias: bool | int = False,
+                 host_direct: bool = False):
         self.mesh = mesh
         self.cfg = cfg
         self.ctx: SemContext = make_context(
             mesh, dtype=dtype, axis_name=axis_name, sponge_ramp=sponge_fun,
-            nscalars=1 if cfg.boussinesq else 0, dealias=dealias)
+            nscalars=1 if cfg.boussinesq else 0, dealias=dealias,
+            host_direct=host_direct)
         # unit-strength ramp for the linearized equations
         # (core/utils.f:174-177: perturbation sponge strength always 1)
         if sponge_fun is None:

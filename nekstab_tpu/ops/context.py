@@ -31,7 +31,8 @@ from ..quadrature import make_basis
                       "xcoord", "ycoord", "bm_eig", "gid", "gid_flat",
                       "gs_idx", "p_schwarz", "p_coarse", "bwn", "gs2_rv",
                       "jd", "wd", "dmet", "axdiag", "rinv", "bm_adj"],
-         meta_fields=["n", "nelem", "nglobal", "axis_name", "gs2_plan"])
+         meta_fields=["n", "nelem", "nglobal", "axis_name", "gs2_plan",
+                      "hsolve"])
 @dataclasses.dataclass(frozen=True)
 class SemContext:
     # static metadata
@@ -94,6 +95,9 @@ class SemContext:
     axdiag: jnp.ndarray | None
     rinv: jnp.ndarray | None
     bm_adj: jnp.ndarray | None
+    # host-side sparse-direct factorized solves (hostsolve/direct.py), or
+    # None -> iterative CG solves. Static: hashable by identity.
+    hsolve: object | None = None
 
     @property
     def dtype(self):
@@ -162,7 +166,8 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
                  pressure_precond: bool = True,
                  nscalars: int = 0,
                  mask_t: np.ndarray | None = None,
-                 dealias: bool | int = False) -> SemContext:
+                 dealias: bool | int = False,
+                 host_direct: bool = False) -> SemContext:
     """Build the device context. `sponge_ramp` (E,n,n, >=0) marks the sponge
     zone; the eigensolver inner-product weight bm_eig is zeroed wherever the
     ramp is active (reference: bm1s, core/usr_extra.f:104-128)."""
@@ -205,10 +210,22 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
         ps, pc = build_pressure_precond(mesh, g, g["D"])
         p_schwarz, p_coarse = dev(ps), dev(pc)
 
-    from .gslib2 import build_plan
-    gs2_plan, gs2_rv = build_plan(mesh)
-    if gs2_rv is not None:
-        gs2_rv = tuple(jnp.asarray(a) for a in gs2_rv)  # int gather tables
+    hsolve = None
+    if host_direct:
+        # host f64 direct solves operate on the assembled global-dof
+        # formulation; skip the gs2 local-space plan so the stepper takes
+        # that branch (hostsolve/direct.py)
+        from ..hostsolve import HostDirect
+        hsolve = HostDirect(
+            mesh, g, maskg_p, maskg_vel, bmg,
+            has_outflow=bool(mesh.has_outflow),
+            axdiag_g=None if g["axdiag"] is None else to_global(g["axdiag"]))
+        gs2_plan, gs2_rv = None, None
+    else:
+        from .gslib2 import build_plan
+        gs2_plan, gs2_rv = build_plan(mesh)
+        if gs2_rv is not None:
+            gs2_rv = tuple(jnp.asarray(a) for a in gs2_rv)  # int tables
 
     jd = wd = dmet = None
     if dealias:
@@ -243,4 +260,5 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
         bm_adj=None if g["bm_adj"] is None else dev(g["bm_adj"]),
         bwn=dev(mesh.bwn if mesh.bwn is not None
                 else np.zeros((2,) + mesh.x.shape)),
-        xcoord=dev(mesh.x), ycoord=dev(mesh.y), bm_eig=dev(bm_eig))
+        xcoord=dev(mesh.x), ycoord=dev(mesh.y), bm_eig=dev(bm_eig),
+        hsolve=hsolve)

@@ -74,3 +74,26 @@ def solve_spd(matvec: Callable, b, *, dot: Callable,
                    maxiter=maxiter, project=project)
 
     return lax.custom_linear_solve(matvec, b, solve_fn, symmetric=True)
+
+
+def solve_spd_direct(matvec: Callable, b, host_fn: Callable, extra=(),
+                     project: Callable | None = None):
+    """Solve the SPD system with a host-side direct factorization
+    (hostsolve/direct.py) through `jax.pure_callback`, wrapped in
+    `custom_linear_solve(symmetric=True)` so transposes and jvps reuse the
+    same factorized solve — the f64 accuracy path on hosts without fast f64
+    matmul. `extra` are additional traced scalars forwarded to the callback
+    (e.g. g0/dt selecting the Helmholtz factorization)."""
+    import jax
+
+    if project is None:
+        project = lambda x: x
+    extra = tuple(lax.stop_gradient(e) for e in extra)
+
+    def solve_fn(mv, rhs):
+        sol = jax.pure_callback(
+            host_fn, jax.ShapeDtypeStruct(rhs.shape, rhs.dtype), rhs, *extra)
+        return project(sol)
+
+    return lax.custom_linear_solve(matvec, project(b), solve_fn,
+                                   symmetric=True)

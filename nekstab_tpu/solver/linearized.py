@@ -117,8 +117,15 @@ def make_linear_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
                 return ctx.maskg_vel * g
 
             rhs_v = ctx.maskg_vel * assemble(ctx, rhs_loc)
-            ug = solve_spd_local(hmat, rhs_v, _gdot, hprecond, cfg.vtol,
-                                 cfg.vmaxit, hproject)
+            if ctx.hsolve is not None:
+                from .cg import solve_spd_direct
+                hfn = ctx.hsolve.make_helm_fn(
+                    tuple(float(v) for v in np.ravel(nu_c)))
+                ug = solve_spd_direct(hmat, rhs_v, hfn, extra=(g0 / dt,),
+                                      project=hproject)
+            else:
+                ug = solve_spd_local(hmat, rhs_v, _gdot, hprecond, cfg.vtol,
+                                     cfg.vmaxit, hproject)
             unew = scatter(ctx, ctx.maskg_vel * ug)
 
         return NSState(u=unew, p=p,

@@ -193,6 +193,17 @@ def _pressure_solver(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
             # uniform mean on global dofs — a symmetric projector
             return g - jnp.sum(g) / ctx.nglobal
 
+    if ctx.hsolve is not None:
+        from .cg import solve_spd_direct
+        hs = ctx.hsolve
+
+        def solve(rhs_local):
+            rhs = project(assemble(ctx, rhs_local))
+            g = solve_spd_direct(amat, rhs, hs.solve_p, project=project)
+            return scatter(ctx, ctx.maskg_p * g)
+
+        return solve
+
     def solve(rhs_local):
         rhs = project(assemble(ctx, rhs_local))
         g = solve_spd_local(amat, rhs, _gdot, precond, cfg.ptol, cfg.pmaxit,
@@ -356,8 +367,15 @@ def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
                 return ctx.maskg_vel * g
 
             rhs_v = ctx.maskg_vel * assemble(ctx, rhs_loc)
-            ug = solve_spd_local(hmat, rhs_v, _gdot, hprecond, cfg.vtol,
-                                 cfg.vmaxit, hproject)
+            if ctx.hsolve is not None:
+                from .cg import solve_spd_direct
+                hfn = ctx.hsolve.make_helm_fn(
+                    tuple(float(v) for v in np.ravel(nu_c)))
+                ug = solve_spd_direct(hmat, rhs_v, hfn, extra=(g0 / dt,),
+                                      project=hproject)
+            else:
+                ug = solve_spd_local(hmat, rhs_v, _gdot, hprecond, cfg.vtol,
+                                     cfg.vmaxit, hproject)
             unew = scatter(ctx, ctx.maskg_vel * ug) + u_b
 
         new_state = NSState(u=unew, p=p,
