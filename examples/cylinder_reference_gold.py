@@ -1,14 +1,25 @@
-"""Gold-value eigensolve ON THE REFERENCE DISCRETIZATION.
+"""Gold-value pipeline ON THE REFERENCE DISCRETIZATION (the round north star).
 
-Ingests the reference's shipped converged base flow + curved GLL mesh
-(BF_1cyl0.f00001: 1996 elements, lx1=6 — io/nekfile.py, mesh_from_coords) and
-runs the direct Arnoldi/Krylov-Schur about it with the reference case's
+Ingests the reference's curved GLL mesh (BF_1cyl0.f00001: 1996 elements,
+lx1=6 — io/nekfile.py, mesh_from_coords), Newton-converges OUR OWN base flow
+on it (the reference does the same: startFrom a Newton BF_ file), and runs
+direct/adjoint Arnoldi/Krylov-Schur about it with the reference case's
 sponge/BCs (1cyl.par). Like-for-like against BASELINE.md gold values:
-    sigma = 1.567373e-2,  omega = +/-7.565285e-1  (tol 1e-6, k_dim=200).
 
-  CPU fp64:  JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
-             python examples/cylinder_reference_gold.py --stage residual
-  TPU fp32:  python examples/cylinder_reference_gold.py --stage eig --tpu
+    direct:  sigma = 1.567373e-2,  omega = +/-7.565285e-1
+    adjoint: sigma = 1.564950e-2,  omega = +/-7.565346e-1
+    (k_dim=200, eigen_tol 1e-6 — Spectre_NS{d,a}_conv.dat:1-2)
+
+All stages default to the host f64 sparse-direct solve path (hostsolve/):
+implicit solves are splu-exact, so matvec noise is ~1e-13 and Ritz residuals
+converge well below the reference's 1e-6 tolerance.
+
+  CPU fp64 (canonical):
+    JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python examples/cylinder_reference_gold.py --stage base
+    JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python examples/cylinder_reference_gold.py --stage eig
+    JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python examples/cylinder_reference_gold.py --stage adjoint
+  TPU fp32 (throughput path; accuracy floor ~1e-4):
+    python examples/cylinder_reference_gold.py --stage eig --tpu
 """
 
 import argparse
@@ -27,9 +38,14 @@ if "--tpu" not in sys.argv:
 import jax.numpy as jnp
 import numpy as np
 
-GOLD_SIGMA = 1.567373e-2
-GOLD_OMEGA = 7.565285e-1
+GOLD = {"direct": (1.567373e-2, 7.565285e-1),
+        "adjoint": (1.564950e-2, 7.565346e-1)}
 DEFAULT_FLD = "/root/reference/examples/cylinder/stability/direct/BF_1cyl0.f00001"
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def bf_cache(dt):
+    return os.path.join(HERE, f"_bf_refmesh_dt{dt:g}.npz")
 
 
 def build(fld, tpu: bool, dt: float):
@@ -37,11 +53,24 @@ def build(fld, tpu: bool, dt: float):
     if tpu:
         import dataclasses
         sys_, base = cylinder_reference_system(
-            fld, dt=dt, dtype=jnp.float32, vtol=1e-5, ptol=1e-5)
-        sys_.cfg = dataclasses.replace(sys_.cfg, vmaxit=80, pmaxit=200)
+            fld, dt=dt, dtype=jnp.float32, vtol=1e-6, ptol=1e-6)
+        sys_.cfg = dataclasses.replace(sys_.cfg, vmaxit=100, pmaxit=400)
     else:
-        sys_, base = cylinder_reference_system(fld, dt=dt)
+        sys_, base = cylinder_reference_system(fld, dt=dt, host_direct=True)
     return sys_, base
+
+
+def load_base(sys_, fld, tpu, dt):
+    """Our own Newton base flow if cached, else the reference's field."""
+    from nekstab_tpu.io.checkpoint import load_field
+    path = bf_cache(dt)
+    if os.path.exists(path):
+        u, _, meta = load_field(path, dtype=sys_.ctx.dtype)
+        print(f"base flow: OUR Newton BF ({path}, "
+              f"|F|={meta.get('newton_residual')})")
+        return jnp.asarray(u)
+    print("base flow: reference BF (run --stage base for the Newton BF)")
+    return None
 
 
 def stage_residual(fld, tpu, dt):
@@ -67,18 +96,48 @@ def stage_residual(fld, tpu, dt):
           f"[{nsteps} steps in {time.time()-t0:.0f}s]")
 
 
-def stage_eig(fld, tpu, dt, k_dim, tau, tol, schur_tgt, restarts):
+def stage_base(fld, tpu, dt, newton_tau, tol):
+    """Newton-converge OUR base flow on the reference mesh, seeded from the
+    reference's converged BF (the closest possible start)."""
+    from nekstab_tpu.io.checkpoint import save_field
+    t0 = time.time()
+    sys_, ref_base = build(fld, tpu, dt)
+    print(f"mesh: {sys_.mesh.nelem} elems, {sys_.mesh.nglobal} dofs, "
+          f"backend={jax.default_backend()}, dt={dt}", flush=True)
+    res = sys_.newton_base_flow(ref_base, tau=newton_tau, tol=tol, k_dim=130,
+                                maxiter=10,
+                                logger=lambda s: print(s, flush=True))
+    print(f"newton: converged={res.converged} iters={res.niter} "
+          f"|F|={res.residuals[-1]:.3e} wall {time.time()-t0:.0f}s")
+    save_field(bf_cache(dt), np.asarray(res.q), dt=dt,
+               newton_residual=float(res.residuals[-1]))
+    print(f"saved {bf_cache(dt)}")
+
+
+def stage_eig(which, fld, tpu, dt, k_dim, tau, tol, schur_tgt, restarts,
+              seed_from=None):
     from nekstab_tpu.algorithms import krylov_schur, log_transform
     from nekstab_tpu.config import ArnoldiConfig
+    from nekstab_tpu.io.checkpoint import save_arnoldi
     from nekstab_tpu.utils import add_noise
     t0 = time.time()
-    sys_, base = build(fld, tpu, dt)
+    sys_, ref_base = build(fld, tpu, dt)
     ctx = sys_.ctx
+    base = load_base(sys_, fld, tpu, dt)
+    if base is None:
+        base = ref_base
     nsteps = int(round(tau / dt))
     print(f"mesh: {sys_.mesh.nelem} elems, {sys_.mesh.nglobal} dofs, "
-          f"backend={jax.default_backend()}, nsteps/matvec={nsteps}")
-    space = sys_.direct_space(base, nsteps)
+          f"backend={jax.default_backend()}, nsteps/matvec={nsteps}, "
+          f"op={which}", flush=True)
+    space = (sys_.direct_space(base, nsteps) if which == "direct"
+             else sys_.adjoint_space(base, nsteps))
     v0 = add_noise(ctx, seed=7)
+    if seed_from is not None and os.path.exists(seed_from):
+        from nekstab_tpu.io.checkpoint import load_field
+        u, _, _ = load_field(seed_from, dtype=ctx.dtype)
+        v0 = jnp.asarray(u)
+        print(f"start vector from {seed_from}")
     acfg = ArnoldiConfig(k_dim=k_dim, eigen_tol=tol, schur_tgt=schur_tgt,
                          max_restarts=restarts, maxmodes=8)
     t_col = [time.time()]
@@ -87,41 +146,60 @@ def stage_eig(fld, tpu, dt, k_dim, tau, tol, schur_tgt, restarts):
         now = time.time()
         if m % 10 == 0:
             ev = np.linalg.eigvals(np.asarray(H[:m, :m]))
-            lead = np.log(ev[np.argmax(np.abs(ev))]) / (nsteps * dt)
+            lead = np.log(ev[np.argmax(np.abs(ev))].astype(complex)) \
+                / (nsteps * dt)
             print(f"  [arnoldi] m={m} lead sigma={lead.real:+.6e} "
                   f"omega={abs(lead.imag):.6e} ({now - t_col[0]:.0f}s)",
                   flush=True)
         t_col[0] = now
 
-    ks = krylov_schur(space, v0, acfg, callback=progress)
+    ks = krylov_schur(space, v0, acfg, callback=progress,
+                      logger=lambda s: print(s, flush=True))
     lam = log_transform(ks.evals, tau=nsteps * dt)
     order = np.argsort(-lam.real)
     lam, rr = lam[order], ks.residuals[order]
     for lv, r in zip(lam[:6], rr[:6]):
         print(f"  sigma={lv.real:+.6e}  omega={lv.imag:+.6e}  res={r:.2e}")
+    # persist the factorization for refinement / mode reconstruction
+    out_npz = os.path.join(HERE, f"_ks_{which}_dt{dt:g}.npz")
+    save_arnoldi(out_npz, np.asarray(ks.Q), ks.H, ks.H.shape[1],
+                 evals=ks.evals, tau=nsteps * dt)
     lead = lam[0]
-    out = {"sigma": float(lead.real), "omega": float(abs(lead.imag)),
-           "dsigma": float(lead.real - GOLD_SIGMA),
-           "domega": float(abs(lead.imag) - GOLD_OMEGA),
-           "k_dim": k_dim, "tau": tau, "backend": jax.default_backend(),
+    gs, go = GOLD[which]
+    out = {"op": which, "sigma": float(lead.real),
+           "omega": float(abs(lead.imag)),
+           "dsigma": float(lead.real - gs),
+           "domega": float(abs(lead.imag) - go),
+           "ritz_residual": float(rr[0]),
+           "k_dim": k_dim, "tau": tau, "dt": dt,
+           "backend": jax.default_backend(),
+           "n_outer": ks.n_outer,
            "wall_s": round(time.time() - t0, 1)}
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stage", choices=["residual", "eig"], required=True)
+    ap.add_argument("--stage", choices=["residual", "base", "eig", "adjoint"],
+                    required=True)
     ap.add_argument("--fld", default=DEFAULT_FLD)
     ap.add_argument("--tpu", action="store_true")
-    ap.add_argument("--dt", type=float, default=2.5e-3)
-    ap.add_argument("--kdim", type=int, default=160)
+    ap.add_argument("--dt", type=float, default=1e-2)
+    ap.add_argument("--kdim", type=int, default=200)
     ap.add_argument("--tau", type=float, default=1.0)
     ap.add_argument("--tol", type=float, default=1e-6)
-    ap.add_argument("--schur-tgt", type=int, default=2)
-    ap.add_argument("--restarts", type=int, default=6)
+    ap.add_argument("--newton-tau", type=float, default=0.5)
+    ap.add_argument("--newton-tol", type=float, default=1e-10)
+    ap.add_argument("--schur-tgt", type=int, default=4)
+    ap.add_argument("--restarts", type=int, default=8)
+    ap.add_argument("--seed-from", default=None)
     args = ap.parse_args()
     if args.stage == "residual":
         stage_residual(args.fld, args.tpu, args.dt)
+    elif args.stage == "base":
+        stage_base(args.fld, args.tpu, args.dt, args.newton_tau,
+                   args.newton_tol)
     else:
-        stage_eig(args.fld, args.tpu, args.dt, args.kdim, args.tau, args.tol,
-                  args.schur_tgt, args.restarts)
+        which = "direct" if args.stage == "eig" else "adjoint"
+        stage_eig(which, args.fld, args.tpu, args.dt, args.kdim, args.tau,
+                  args.tol, args.schur_tgt, args.restarts, args.seed_from)

@@ -1,4 +1,6 @@
 from .arnoldi import ArnoldiSpace, arnoldi_factorization
+from .block_arnoldi import (block_arnoldi_factorization, block_krylov_schur,
+                            block_ritz_residuals)
 from .eigensolve import (eig_hessenberg, krylov_schur, log_transform,
                          power_iteration)
 from .gmres import gmres
@@ -8,7 +10,9 @@ from .fixed_point import (BoostConvState, StabilizerResult, boostconv, sfd,
                           sfd_params, tdf)
 
 __all__ = [
-    "ArnoldiSpace", "arnoldi_factorization", "eig_hessenberg", "krylov_schur",
+    "ArnoldiSpace", "arnoldi_factorization", "block_arnoldi_factorization",
+    "block_krylov_schur", "block_ritz_residuals",
+    "eig_hessenberg", "krylov_schur",
     "log_transform", "power_iteration", "gmres", "newton_krylov", "newton_upo", "UPOResult", "sfd",
     "sfd_params", "boostconv", "tdf", "BoostConvState", "StabilizerResult",
 ]

@@ -1,0 +1,192 @@
+"""Block Arnoldi factorization and block Krylov-Schur eigensolver.
+
+A capability the reference CANNOT have: Nek5000 hard-forces a single
+perturbation slot (npert=1, core/matvec.f:10-14), so nekStab's Arnoldi is
+strictly one matvec at a time. Here the propagator is `jax.vmap`-batched over
+b simultaneous perturbations — on TPU the b linearized solves share every
+kernel launch and collective, so a block matvec costs far less than b single
+matvecs (the mesh is latency-bound at SEM sizes). SURVEY.md §2.4 calls this
+out as "an improvement, not a port".
+
+Algorithm: classic block Arnoldi with CGS2 block orthogonalization (one
+batched contraction per pass) and Cholesky-QR (twice) for the intra-block
+factor; Krylov-Schur restarts operate on the band-Hessenberg H exactly as in
+the scalar solver (algorithms/eigensolve.py), with the b-row residual block
+coupling B = H[k:k+b, k-b:k].
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ArnoldiConfig
+from .arnoldi import (ArnoldiSpace, leaf_dtype, tree_alloc, tree_combine,
+                      _basis_prefix)
+from .eigensolve import KrylovSchurResult, eig_hessenberg
+
+
+def _tree_stack_block(Q, i0, b):
+    return jax.tree.map(lambda x: x[i0:i0 + b], Q)
+
+
+def _tree_set_block(Q, i0, Wb):
+    return jax.tree.map(lambda x, w: jax.lax.dynamic_update_slice_in_dim(
+        x, w.astype(x.dtype), i0, axis=0), Q, Wb)
+
+
+def make_block_cgs2(dot: Callable):
+    """Block classical Gram-Schmidt with one full re-orthogonalization pass;
+    both passes are single batched contractions (Q^T W as one GEMM)."""
+
+    @jax.jit
+    def cgs2(Q, W, active):
+        def one_pass(W):
+            h = jax.vmap(lambda q: jax.vmap(lambda w: dot(q, w))(W))(Q)
+            h = h * active[:, None]
+            corr = tree_combine(Q, h)      # (b, ...) block combination
+            W = jax.tree.map(lambda wl, cl: wl - cl, W, corr)
+            return h, W
+
+        h1, W = one_pass(W)
+        h2, W = one_pass(W)
+        return h1 + h2, W
+
+    return cgs2
+
+
+def _block_qr(space: ArnoldiSpace, W):
+    """Cholesky-QR (x2 for stability): W = Q R with Q orthonormal in the
+    space's inner product. Returns (Q, R) with R (b, b) host numpy."""
+    b = jax.tree.leaves(W)[0].shape[0]
+    R = np.eye(b)
+    for _ in range(2):
+        G = np.asarray(jax.vmap(
+            lambda wi: jax.vmap(lambda wj: space.dot(wi, wj))(W))(W),
+            dtype=np.float64)
+        G = 0.5 * (G + G.T)
+        # regularize: block may be near rank-deficient after deflation
+        lam_floor = 1e-14 * max(np.trace(G) / b, 1e-300)
+        Rc = np.linalg.cholesky(G + lam_floor * np.eye(b)).T   # upper
+        Rinv = np.linalg.inv(Rc)
+        W = tree_combine(W, np.ascontiguousarray(Rinv))        # W <- W R^-1
+        R = Rc @ R
+    return W, R
+
+
+def block_arnoldi_factorization(space: ArnoldiSpace, matvec_block: Callable,
+                                Q, H: np.ndarray, jstart: int, jend: int,
+                                b: int, callback: Callable | None = None):
+    """Extend a block Arnoldi factorization from block-column jstart to jend
+    (1-based block counts): on exit, with k = jend*b,
+        A Q[:k] = Q[:k] H[:k, :k] + Q[k:k+b] H[k:k+b, k-b:k] E_last^T.
+
+    Q: stacked pytree with k_max + b slots; Q[(jstart-1)*b : jstart*b] holds
+    the current orthonormal start block. H: ((jmax*b)+b, jmax*b) numpy.
+    """
+    cgs2 = getattr(space, "_block_cgs2", None)
+    if cgs2 is None:
+        cgs2 = make_block_cgs2(space.dot)
+        space._block_cgs2 = cgs2
+    nslots = jax.tree.leaves(Q)[0].shape[0]
+    for j in range(jstart, jend + 1):
+        c0 = (j - 1) * b
+        V = _tree_stack_block(Q, c0, b)
+        W = matvec_block(V)
+        active = (jnp.arange(nslots) < (c0 + b)).astype(leaf_dtype(Q))
+        h, W = cgs2(Q, W, active)
+        W, R = _block_qr(space, W)
+        Q = _tree_set_block(Q, c0 + b, W)
+        hh = np.asarray(h, dtype=np.float64)
+        H[:c0 + b, c0:c0 + b] = hh[:c0 + b]
+        H[c0 + b:c0 + 2 * b, c0:c0 + b] = R
+        if callback is not None:
+            callback(j * b, Q, H)
+    return Q, H
+
+
+def block_ritz_residuals(H: np.ndarray, k: int, b: int):
+    """Ritz values/vectors of H[:k,:k] and residuals ||B y_last|| with
+    B = H[k:k+b, k-b:k] (the block generalization of |h_{k+1,k} y_k|)."""
+    lam, V = eig_hessenberg(H[:k, :k])
+    B = H[k:k + b, k - b:k]
+    res = np.linalg.norm(B @ V[k - b:, :], axis=0)
+    return lam, V, res
+
+
+def block_krylov_schur(space: ArnoldiSpace, matvec_block: Callable, V0,
+                       cfg: ArnoldiConfig, block: int,
+                       callback: Callable | None = None,
+                       logger: Callable = print) -> KrylovSchurResult:
+    """Block Krylov-Schur: converge `schur_tgt` Ritz pairs of the propagator
+    below `eigen_tol`. V0: (block, ...) stacked start block (independent
+    noise seeds work well). k_dim is rounded down to a multiple of block."""
+    b = block
+    jmax = cfg.k_dim // b
+    k = jmax * b
+    import scipy.linalg
+
+    V0n, _ = _block_qr(space, V0)
+    Q = tree_alloc(jax.tree.map(lambda x: x[0], V0n), k + b)
+    Q = _tree_set_block(Q, 0, V0n)
+    H = np.zeros((k + b, k), dtype=np.float64)
+    jstart = 1
+    history = []
+    for outer in range(1, cfg.max_restarts + 1):
+        Q, H = block_arnoldi_factorization(space, matvec_block, Q, H,
+                                           jstart, jmax, b, callback=callback)
+        lam, V, res = block_ritz_residuals(H, k, b)
+        nconv = int(np.sum(res < cfg.eigen_tol))
+        history.append(dict(outer=outer, nconv=nconv,
+                            leading=lam[0] if len(lam) else None))
+        logger(f"[block_ks] outer={outer} converged={nconv}/"
+               f"{max(cfg.schur_tgt, 0)} lead|mu|="
+               f"{np.abs(lam[0]) if len(lam) else 0:.6f}")
+        if cfg.schur_tgt <= 0 or nconv >= cfg.schur_tgt:
+            break
+        # --- Krylov-Schur condensation with block residual coupling -------
+        Hk = H[:k, :k]
+        moduli = np.abs(np.linalg.eigvals(Hk))
+        m_keep = min(max(cfg.schur_tgt + 4, 2), k - 2 * b)
+        # round keep count UP to a multiple of b so restart stays block-shaped
+        m_keep = int(np.ceil(m_keep / b) * b)
+        srt = np.sort(moduli)[::-1]
+        T = Z = None
+        for mtry in range(m_keep, min(m_keep + 2 * b, k - 1)):
+            cut = 0.5 * (srt[mtry - 1] + srt[min(mtry, k - 1)])
+            if np.isclose(srt[mtry - 1], srt[min(mtry, k - 1)], rtol=1e-9):
+                continue   # would split a conjugate pair / cluster
+            try:
+                T, Z, sdim = scipy.linalg.schur(
+                    Hk, sort=lambda re, im: np.hypot(re, im) >= cut)
+                break
+            except np.linalg.LinAlgError:
+                continue
+        m = int(np.ceil(int(sdim) / b) * b) if T is not None else 0
+        if T is None or m < b or m > k - b:
+            m = m_keep
+            T, Z = scipy.linalg.schur(Hk)
+        Bnew = H[k:k + b, k - b:k] @ Z[k - b:, :m]      # (b, m)
+        Qk = _basis_prefix(Q, k)
+        Qrot = tree_combine(Qk, np.ascontiguousarray(Z[:, :m]))
+        resid_blk = _tree_stack_block(Q, k, b)
+        Q = jax.tree.map(lambda full, rot: full.at[:m].set(rot), Q, Qrot)
+        Q = _tree_set_block(Q, m, resid_blk)
+        H[:] = 0.0
+        H[:m, :m] = T[:m, :m]
+        H[m:m + b, :m] = Bnew
+        jstart = m // b + 1
+    lam, V, res = block_ritz_residuals(H, k, b)
+    keep = res < cfg.eigen_tol if cfg.schur_tgt > 0 else \
+        np.ones(len(res), dtype=bool)
+    nmax = cfg.maxmodes * 2
+    return KrylovSchurResult(
+        evals=lam[keep][:nmax] if cfg.schur_tgt > 0 else lam,
+        evecs_coeffs=V[:, keep][:, :nmax] if cfg.schur_tgt > 0 else V,
+        residuals=res[keep][:nmax] if cfg.schur_tgt > 0 else res,
+        Q=Q, H=H.copy(), n_outer=outer,
+        converged=bool(np.sum(res < cfg.eigen_tol) >= max(cfg.schur_tgt, 1)),
+        history=history)

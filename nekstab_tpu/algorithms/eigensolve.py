@@ -86,8 +86,9 @@ def krylov_schur(space: ArnoldiSpace, v0, cfg: ArnoldiConfig,
     dtype = np.float64
     if resume is not None:
         Qr, Hr, mdone = resume
+        import jax
         import jax.numpy as _jnp
-        Q = _jnp.asarray(Qr)
+        Q = jax.tree.map(_jnp.asarray, Qr)   # any vector pytree
         H = np.zeros((k + 1, k), dtype=dtype)
         H[:Hr.shape[0], :Hr.shape[1]] = Hr
         mstart = mdone + 1

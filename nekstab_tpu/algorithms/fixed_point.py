@@ -82,14 +82,35 @@ def make_sfd_chunk(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
 def sfd(ctx: SemContext, cfg: NSConfig, case: CaseFields, has_outflow: bool,
         state: NSState, *, st_freq: float = 0.2, sigma: float = 0.05,
         casacuberta: bool = False, tol: float = 1e-9, chunk_steps: int = 200,
-        max_chunks: int = 500, logger: Callable = print,
+        max_chunks: int = 500, dyntol: bool = False,
+        residu_path: str | None = None, logger: Callable = print,
         callback: Callable | None = None) -> StabilizerResult:
     """Selective frequency damping to a steady base flow
-    (reference SFD, core/fixedp.f:114-242)."""
+    (reference SFD, core/fixedp.f:114-242).
+
+    dyntol: staged inner-solve tolerances — the implicit-solver tolerances
+    track a decade below the current residual (floored at cfg.vtol/ptol),
+    so early transients don't pay converged-solve cost (spec_tole_sfd,
+    core/fixedp.f:244-280). Each stage rebuilds the jitted chunk.
+    residu_path: append per-chunk `t residu` rows (the reference's
+    residu.dat, core/fixedp.f:206-219).
+    Continuation across Re (the reference's SFD continuation mode) is a
+    re-call with a new cfg and the previous result's state/qbar.
+    """
+    import dataclasses
     cutoff, gain = sfd_params(st_freq, sigma, casacuberta)
     logger(f"[sfd] cutoff={cutoff:.4f} gain={gain:.4f} "
            f"({'Casacuberta' if casacuberta else 'Akervik'})")
-    chunk = make_sfd_chunk(ctx, cfg, has_outflow, chunk_steps, cutoff, gain)
+    series = None
+    if residu_path is not None:
+        from ..io.spectra import AsciiSeries
+        series = AsciiSeries(residu_path, header="t residu tol")
+    def stage_tols(res):
+        v = 10.0 ** np.floor(np.log10(max(0.1 * res, 1e-300)))
+        return (max(min(v, 1e-4), cfg.vtol), max(min(v, 1e-4), cfg.ptol))
+    cur = (cfg.vtol, cfg.ptol) if not dyntol else stage_tols(1.0)
+    ecfg = dataclasses.replace(cfg, vtol=cur[0], ptol=cur[1])
+    chunk = make_sfd_chunk(ctx, ecfg, has_outflow, chunk_steps, cutoff, gain)
     qbar = state.u
     hist = []
     converged = False
@@ -97,8 +118,11 @@ def sfd(ctx: SemContext, cfg: NSConfig, case: CaseFields, has_outflow: bool,
         state, qbar, res = chunk(case, state, qbar)
         res = np.asarray(res)
         hist.append(res)
-        logger(f"[sfd] chunk={i} t={cfg.dt * chunk_steps * (i + 1):.2f} "
-               f"residu={res[-1]:.4e}")
+        t_now = cfg.dt * chunk_steps * (i + 1)
+        logger(f"[sfd] chunk={i} t={t_now:.2f} residu={res[-1]:.4e} "
+               f"(vtol {cur[0]:.1e})")
+        if series is not None:
+            series.append(t_now, res[-1], cur[0])
         if callback is not None:
             callback(i, state, res)
         if res[-1] < tol:
@@ -106,6 +130,13 @@ def sfd(ctx: SemContext, cfg: NSConfig, case: CaseFields, has_outflow: bool,
             break
         if not np.isfinite(res[-1]):
             raise FloatingPointError("SFD diverged (NaN residual)")
+        if dyntol:
+            new = stage_tols(float(res[-1]))
+            if new != cur:
+                cur = new
+                ecfg = dataclasses.replace(cfg, vtol=cur[0], ptol=cur[1])
+                chunk = make_sfd_chunk(ctx, ecfg, has_outflow, chunk_steps,
+                                       cutoff, gain)
     return StabilizerResult(state=state, residuals=np.concatenate(hist),
                             converged=converged,
                             aux=dict(qbar=qbar, cutoff=cutoff, gain=gain))
@@ -188,11 +219,15 @@ def make_boostconv_core(ctx: SemContext, snapshots: int):
 def boostconv(ctx: SemContext, cfg: NSConfig, case: CaseFields,
               has_outflow: bool, state: NSState, *, skip: int = 10,
               snapshots: int = 10, tol: float = 1e-9, max_outer: int = 2000,
-              logger: Callable = print,
+              residu_path: str | None = None, logger: Callable = print,
               callback: Callable | None = None) -> StabilizerResult:
     """BoostConv convergence acceleration to a steady state (reference
     core/fixedp.f:282-329: every bst_skp steps the one-step increment
     u^n - u^{n-1} is boosted through the residual subspace and re-applied)."""
+    series = None
+    if residu_path is not None:
+        from ..io.spectra import AsciiSeries
+        series = AsciiSeries(residu_path, header="t residu")
     step = make_step(ctx, cfg, has_outflow)
     ab, eb = (jnp.asarray(c, ctx.dtype)
               for c in timestep_coeffs(skip, cfg.torder, np.float64))
@@ -216,6 +251,8 @@ def boostconv(ctx: SemContext, cfg: NSConfig, case: CaseFields,
         hist.append(res)
         rboost, bstate = core(bstate, r)
         state = state._replace(u=state.ulag[0] + rboost)
+        if series is not None:
+            series.append(cfg.dt * skip * (it + 1), res)
         if it % 10 == 0:
             logger(f"[boostconv] outer={it} residu={res:.4e}")
         if callback is not None:
@@ -236,7 +273,8 @@ def boostconv(ctx: SemContext, cfg: NSConfig, case: CaseFields,
 
 def tdf(ctx: SemContext, cfg: NSConfig, case: CaseFields, has_outflow: bool,
         state: NSState, *, period: float, gain: float | None = None,
-        tol: float = 1e-7, max_periods: int = 200, logger: Callable = print,
+        tol: float = 1e-7, max_periods: int = 200,
+        residu_path: str | None = None, logger: Callable = print,
         callback: Callable | None = None,
         bc_wave: Callable | None = None) -> StabilizerResult:
     """Time-delayed feedback stabilization of a periodic orbit with target
@@ -277,6 +315,10 @@ def tdf(ctx: SemContext, cfg: NSConfig, case: CaseFields, has_outflow: bool,
             body, (state, ring), (ab, eb, jnp.arange(norbit), bcw))
         return st, ring, res
 
+    series = None
+    if residu_path is not None:
+        from ..io.spectra import AsciiSeries
+        series = AsciiSeries(residu_path, header="t residu")
     ring = jnp.zeros((norbit,) + state.u.shape, ctx.dtype)
     hist = []
     converged = False
@@ -286,6 +328,8 @@ def tdf(ctx: SemContext, cfg: NSConfig, case: CaseFields, has_outflow: bool,
         res = np.asarray(res)
         hist.append(res)
         logger(f"[tdf] period={it} residu=||u(t)-u(t-T)||={res[-1]:.4e}")
+        if series is not None:
+            series.append(period * (it + 1), res[-1])
         if callback is not None:
             callback(it, state, res)
         if it > 0 and res[-1] < tol:

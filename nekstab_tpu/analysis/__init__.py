@@ -1,16 +1,18 @@
 from .postproc import (vorticity, q_criterion, delta_criterion,
                        swirling_strength, omega_criterion, kinetic_energy,
                        enstrophy, energy_budget, RunningStats, drag_lift,
-                       ZeroCrossing)
+                       torque, forces_and_torque, ZeroCrossing)
 from .sensitivity import (biorthogonalize, wavemaker, bf_sensitivity,
                           steady_force_sensitivity, delta_forcing)
 from .monitor import RunMonitor, WatchdogError, cfl
+from .outpost import outpost_ks
 
 __all__ = [
     "vorticity", "q_criterion", "delta_criterion", "swirling_strength",
     "omega_criterion", "kinetic_energy", "enstrophy", "energy_budget",
-    "RunningStats", "drag_lift", "ZeroCrossing",
+    "RunningStats", "drag_lift", "torque", "forces_and_torque",
+    "ZeroCrossing",
     "biorthogonalize", "wavemaker", "bf_sensitivity",
     "steady_force_sensitivity", "delta_forcing",
-    "RunMonitor", "WatchdogError", "cfl",
+    "RunMonitor", "WatchdogError", "cfl", "outpost_ks",
 ]

@@ -85,18 +85,48 @@ def enstrophy(ctx: SemContext, u: jnp.ndarray):
     return 0.5 * glsc3(ctx, om, ctx.bm, om)
 
 
+def _traction(ctx: SemContext, wall_wn: jnp.ndarray, u: jnp.ndarray,
+              p: jnp.ndarray, nu: float):
+    """Pointwise traction (-p n + 2 nu S n) with the surface-quadrature
+    weights folded in (wall_wn = w ds n from mesh.surface_weights)."""
+    ux, uy, vx, vy = velocity_gradients(ctx, u)
+    tx = -p * wall_wn[0] + nu * (2 * ux * wall_wn[0] + (uy + vx) * wall_wn[1])
+    ty = -p * wall_wn[1] + nu * ((uy + vx) * wall_wn[0] + 2 * vy * wall_wn[1])
+    return tx, ty
+
+
 def drag_lift(ctx: SemContext, wall_wn: jnp.ndarray, u: jnp.ndarray,
               p: jnp.ndarray, nu: float):
     """Force on the wall faces: F_i = surf_int(-p n_i + 2 nu S_ij n_j)
     (the reference's torque_calc adaptation, core/usr_extra.f:478-639).
-    wall_wn: surface_weights(mesh, ('W',)) as device array (2, E, n, n)."""
-    ux, uy, vx, vy = velocity_gradients(ctx, u)
-    # traction with weights folded in: wall_wn already = w ds n
-    fx = glsum(ctx, -p * wall_wn[0]
-               + nu * (2 * ux * wall_wn[0] + (uy + vx) * wall_wn[1]))
-    fy = glsum(ctx, -p * wall_wn[1]
-               + nu * ((uy + vx) * wall_wn[0] + 2 * vy * wall_wn[1]))
-    return fx, fy
+    wall_wn: surface_weights(mesh, ('W',)) as device array (2, E, n, n).
+    Per-object forces: build wall_wn per object with the `region` filter of
+    surface_weights (reference nekStab_define_obj, core/usr_extra.f:641-655)."""
+    tx, ty = _traction(ctx, wall_wn, u, p, nu)
+    return glsum(ctx, tx), glsum(ctx, ty)
+
+
+def torque(ctx: SemContext, wall_wn: jnp.ndarray, u: jnp.ndarray,
+           p: jnp.ndarray, nu: float, x0: float = 0.0, y0: float = 0.0):
+    """Torque (moment) about (x0, y0) on the wall faces:
+    T_z = surf_int (r - r0) x t  (nekStab_torque, core/usr_extra.f:478-639;
+    the reference reports dragx/dragy/torque per object)."""
+    tx, ty = _traction(ctx, wall_wn, u, p, nu)
+    rx = ctx.xcoord - x0
+    ry = ctx.ycoord - y0
+    return glsum(ctx, rx * ty - ry * tx)
+
+
+def forces_and_torque(ctx: SemContext, wall_wn: jnp.ndarray, u: jnp.ndarray,
+                      p: jnp.ndarray, nu: float, x0: float = 0.0,
+                      y0: float = 0.0):
+    """(Fx, Fy, Tz) in one pass — the per-object monitor row the reference
+    appends to its torque file (core/usr_extra.f:585-612)."""
+    tx, ty = _traction(ctx, wall_wn, u, p, nu)
+    rx = ctx.xcoord - x0
+    ry = ctx.ycoord - y0
+    return (glsum(ctx, tx), glsum(ctx, ty),
+            glsum(ctx, rx * ty - ry * tx))
 
 
 def energy_budget(ctx: SemContext, base_u: jnp.ndarray, mode_re: jnp.ndarray,

@@ -42,13 +42,15 @@ class FlowSystem:
                  *, dtype=jnp.float64, axis_name: str | None = None,
                  sponge_fun: np.ndarray | None = None,
                  sponge_strength: float = 0.0, dealias: bool | int = False,
-                 host_direct: bool = False):
+                 host_direct: bool = False,
+                 pressure_precond: bool | str = True, n_deflate: int = 128):
         self.mesh = mesh
         self.cfg = cfg
         self.ctx: SemContext = make_context(
             mesh, dtype=dtype, axis_name=axis_name, sponge_ramp=sponge_fun,
             nscalars=1 if cfg.boussinesq else 0, dealias=dealias,
-            host_direct=host_direct)
+            host_direct=host_direct, pressure_precond=pressure_precond,
+            n_deflate=n_deflate)
         # unit-strength ramp for the linearized equations
         # (core/utils.f:174-177: perturbation sponge strength always 1)
         if sponge_fun is None:
@@ -116,6 +118,29 @@ class FlowSystem:
         sp = self.sponge_fun
         return ArnoldiSpace(matvec=lambda v: adj(base_u, sp, v)[0],
                             dot=self.dot)
+
+    def linear_propagator_block(self, nsteps: int):
+        """vmap-batched linearized propagator: (base_u, sponge, V (b, ...))
+        -> (b, ...). On TPU the b perturbations share every kernel launch
+        and collective — the block-Arnoldi matvec (the reference cannot do
+        this: npert forced to 1, core/matvec.f:10-14)."""
+        def build():
+            prop = make_linear_propagator(self.ctx, self.cfg,
+                                          self.mesh.has_outflow, nsteps)
+            return jax.jit(jax.vmap(lambda bu, sp, v: prop(bu, sp, v)[0],
+                                    in_axes=(None, None, 0)))
+        return self._get(("linb", nsteps), build)
+
+    def direct_space_block(self, base_u, nsteps: int):
+        """(ArnoldiSpace, matvec_block) for algorithms.block_krylov_schur."""
+        propb = self.linear_propagator_block(nsteps)
+        sp = self.sponge_fun
+        def mv1(v):
+            w = propb(base_u, sp, jax.tree.map(lambda x: x[None], v))
+            return jax.tree.map(lambda x: x[0], w)
+
+        space = ArnoldiSpace(matvec=mv1, dot=self.dot)
+        return space, lambda V: propb(base_u, sp, V)
 
     def transient_growth_space(self, base_u, nsteps: int) -> ArnoldiSpace:
         """Direct-adjoint composition exp(tau L)* exp(tau L): optimal-gain

@@ -40,24 +40,43 @@ def load_field(path: str, dtype=None):
 
 
 def save_arnoldi(path: str, Q, H: np.ndarray, m: int, **meta):
-    """Checkpoint an Arnoldi factorization: stacked basis (velocity-vector
-    pytree = single array here), Hessenberg, and the completed column count."""
+    """Checkpoint an Arnoldi factorization: stacked Krylov basis (ANY vector
+    pytree — plain velocity arrays, (u, T) stacks, or (u, period) tuples of
+    the UPO space), Hessenberg, and the completed column count. Leaves are
+    stored as Q0..Qk; reconstruct the structure at load with `like`."""
+    import jax
+    leaves = jax.tree.leaves(Q)
+    arrays = {f"Q{i}": np.asarray(l, dtype=np.float64)
+              for i, l in enumerate(leaves)}
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez_compressed(path, Q=np.asarray(Q, dtype=np.float64),
-                        H=np.asarray(H, dtype=np.float64),
-                        m=np.asarray(m),
+    np.savez_compressed(path, H=np.asarray(H, dtype=np.float64),
+                        m=np.asarray(m), nleaves=np.asarray(len(leaves)),
+                        **arrays,
                         **{f"meta_{k}": np.asarray(v) for k, v in meta.items()})
 
 
-def load_arnoldi(path: str, dtype=None):
-    """Returns (Q, H, m, meta) ready to pass as krylov_schur(resume=...)."""
+def load_arnoldi(path: str, dtype=None, like=None):
+    """Returns (Q, H, m, meta) ready to pass as krylov_schur(resume=...).
+    `like`: an example pytree with the basis' tree structure (any stacked
+    basis or single vector); omit for single-array bases (legacy files with
+    a 'Q' key also load)."""
+    import jax
     with np.load(path) as z:
-        Q = z["Q"]
+        if "Q" in z.files:                      # legacy single-array layout
+            leaves = [z["Q"]]
+        else:
+            leaves = [z[f"Q{i}"] for i in range(int(z["nleaves"]))]
         H = z["H"]
         m = int(z["m"])
         meta = {k[5:]: z[k] for k in z.files if k.startswith("meta_")}
     if dtype is not None:
-        Q = jnp.asarray(Q, dtype)
+        leaves = [jnp.asarray(l, dtype) for l in leaves]
+    if like is not None:
+        Q = jax.tree.unflatten(jax.tree.structure(like), leaves)
+    elif len(leaves) == 1:
+        Q = leaves[0]
+    else:
+        Q = tuple(leaves)
     return Q, H, m, meta
 
 

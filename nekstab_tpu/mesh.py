@@ -318,11 +318,13 @@ def mesh_from_coords(x: np.ndarray, y: np.ndarray,
     return mesh
 
 
-def surface_weights(mesh: "Mesh2D", tags) -> np.ndarray:
+def surface_weights(mesh: "Mesh2D", tags, region=None) -> np.ndarray:
     """Per-node surface-quadrature outward-normal weights (2, E, n, n) over
     the boundary faces with the given tags: sum(q * (w[0] u + w[1] v)) is the
     surface integral of (u,v).n q. Nodes on two tagged faces accumulate both
-    contributions."""
+    contributions. `region(xc, yc) -> bool` restricts to faces whose centroid
+    satisfies the predicate — the per-object decomposition of the reference's
+    torque monitor (nekStab_define_obj, core/usr_extra.f:641-655)."""
     basis = make_basis(mesh.n)
     n = mesh.n
     bwn = np.zeros((2, mesh.nelem, n, n))
@@ -332,6 +334,8 @@ def surface_weights(mesh: "Mesh2D", tags) -> np.ndarray:
         idx = face_index(f.face, n)
         xf = mesh.x[f.elem][idx]
         yf = mesh.y[f.elem][idx]
+        if region is not None and not region(xf.mean(), yf.mean()):
+            continue
         tx = basis.D @ xf
         ty = basis.D @ yf
         ds = np.hypot(tx, ty)

@@ -29,7 +29,8 @@ from ..quadrature import make_basis
                       "g11", "g12", "g22", "diag_a", "mask_vel", "mask_p",
                       "multinv", "maskg_vel", "maskg_p", "diag_ag", "bmg",
                       "xcoord", "ycoord", "bm_eig", "gid", "gid_flat",
-                      "gs_idx", "p_schwarz", "p_coarse", "bwn", "gs2_rv",
+                      "gs_idx", "p_schwarz", "p_defl_z", "p_defl_c",
+                      "p_vfem", "bwn", "gs2_rv",
                       "jd", "wd", "dmet", "axdiag", "rinv", "bm_adj"],
          meta_fields=["n", "nelem", "nglobal", "axis_name", "gs2_plan",
                       "hsolve"])
@@ -72,9 +73,13 @@ class SemContext:
     ycoord: jnp.ndarray
     bm_eig: jnp.ndarray       # inner-product weight (bm, zeroed in sponge zone
                               #  — the reference's bm1s, core/usr_extra.f:104-128)
-    # two-level Schwarz pressure preconditioner (ops/precond.py), or None
+    # two-level pressure preconditioner (ops/precond.py), or None:
+    # element Schwarz pseudo-inverses + spectral-deflation coarse space
     p_schwarz: jnp.ndarray | None   # (E, n^2, n^2) element pseudo-inverses
-    p_coarse: jnp.ndarray | None    # (E, E) coarse-space inverse
+    p_defl_z: jnp.ndarray | None    # (m, E, n, n) local / (m, G) global basis
+    p_defl_c: jnp.ndarray | None    # (m, m) coarse Galerkin inverse
+    # vertex-FEM (Q1) coarse level: (Jb (n^2,4), vidx, vgid, Ac_inv (NV,NV))
+    p_vfem: tuple | None
     bwn: jnp.ndarray          # (2, E, n, n) Dirichlet-face normal weights
     # structured-block gather-scatter (ops/gslib2.py): static plan tuple and
     # the (vidx, vgid) corner-vertex gather tables; None -> unstructured
@@ -163,7 +168,8 @@ def _np_dssum(gid: np.ndarray, u: np.ndarray, nglobal: int) -> np.ndarray:
 
 def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
                  sponge_ramp: np.ndarray | None = None,
-                 pressure_precond: bool = True,
+                 pressure_precond: bool | str = True,
+                 n_deflate: int = 128,
                  nscalars: int = 0,
                  mask_t: np.ndarray | None = None,
                  dealias: bool | int = False,
@@ -204,12 +210,6 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
     from .gslib import build_gs_tables
     gs_idx = build_gs_tables(mesh.gid, mesh.nglobal)
 
-    p_schwarz = p_coarse = None
-    if pressure_precond:
-        from .precond import build_pressure_precond
-        ps, pc = build_pressure_precond(mesh, g, g["D"])
-        p_schwarz, p_coarse = dev(ps), dev(pc)
-
     hsolve = None
     if host_direct:
         # host f64 direct solves operate on the assembled global-dof
@@ -226,6 +226,30 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
         gs2_plan, gs2_rv = build_plan(mesh)
         if gs2_rv is not None:
             gs2_rv = tuple(jnp.asarray(a) for a in gs2_rv)  # int tables
+
+    # pressure_precond mode string: fine level "schwarz" (element pseudo-
+    # inverses) or point Jacobi (absent), plus coarse levels "vfem"
+    # (vertex-Q1 grid — the classic SEM coarse, contains every element-
+    # smooth mode) and/or "defl" (spectral deflation — m lowest modes,
+    # scalable psum-of-m coarse). True -> "schwarz_vfem".
+    p_schwarz = p_defl_z = p_defl_c = p_vfem = None
+    mode = "schwarz_vfem" if pressure_precond is True else pressure_precond
+    if mode and hsolve is None:
+        from .precond import (build_pressure_precond, build_vertex_coarse,
+                              element_laplacian_matrices)
+        if "schwarz" in mode or "defl" in mode:
+            ps, zd, cd = build_pressure_precond(
+                mesh, g, g["D"], maskg_p, bool(mesh.has_outflow),
+                n_deflate=n_deflate, local_layout=gs2_plan is not None,
+                deflation="defl" in mode)
+            if "schwarz" in mode:
+                p_schwarz = dev(ps)
+            if "defl" in mode:
+                p_defl_z, p_defl_c = dev(zd), dev(cd)
+        if "vfem" in mode:
+            jb, vi, vg, aci = build_vertex_coarse(
+                mesh, element_laplacian_matrices(g, g["D"]))
+            p_vfem = (dev(jb), jnp.asarray(vi), jnp.asarray(vg), dev(aci))
 
     jd = wd = dmet = None
     if dealias:
@@ -253,7 +277,8 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
         mask_p=dev(mesh.mask_p), multinv=dev(1.0 / mesh.mult),
         maskg_vel=dev(maskg_vel), maskg_p=dev(maskg_p),
         diag_ag=dev(diag_ag), bmg=dev(bmg),
-        p_schwarz=p_schwarz, p_coarse=p_coarse,
+        p_schwarz=p_schwarz, p_defl_z=p_defl_z, p_defl_c=p_defl_c,
+        p_vfem=p_vfem,
         gs2_plan=gs2_plan, gs2_rv=gs2_rv, jd=jd, wd=wd, dmet=dmet,
         axdiag=None if g["axdiag"] is None else dev(g["axdiag"]),
         rinv=None if g["rinv"] is None else dev(g["rinv"]),

@@ -116,7 +116,8 @@ def _batch(prim):
         x, idx, gid = args
         d = dims[0]
         assert dims[1] is batching.not_mapped and dims[2] is batching.not_mapped
-        x = batching.moveaxis(x, d, 0)
+        if d != 0:
+            x = jnp.moveaxis(x, d, 0)
         return prim.bind(x, idx, gid), 0
 
     return rule

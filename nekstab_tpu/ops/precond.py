@@ -1,18 +1,24 @@
-"""Two-level additive Schwarz preconditioner for the pressure Poisson solve.
+"""Two-level pressure preconditioner: element Schwarz + spectral deflation.
 
 The reference leans on Nek5000's XXT/semg coarse solvers for this, the
 dominant cost of `nek_advance` (SURVEY.md §7 hard parts #1;
 examples/.../1cyl.par:29 `preconditioner = semg_xxt`). TPU-native variant:
 
-  z = sum_e R_e^T W_e A_e^+ W_e R_e r   +   P A_c^{-1} P^T r
+  z = sum_e R_e^T W_e A_e^+ W_e R_e r   +   Z C^{-1} Z^T r
 
 * fine level: per-element pseudo-inverses of the local weak Laplacian
   (constant mode zeroed), applied as ONE batched (E, n^2, n^2) x (E, n^2)
   matmul — ideal MXU work;
-* coarse level: element-constant space, A_c = P^T A P (E x E) factorized
-  host-side once (scipy pinv) and applied as a dense matmul;
-* W_e = diag(1/multiplicity) weighting keeps the operator symmetric, so
-  custom_linear_solve(symmetric=True) stays exactly transposable.
+* coarse level: SPECTRAL DEFLATION — the m lowest eigenmodes of the
+  assembled pressure operator (shift-invert Lanczos at build time), applied
+  as two skinny GEMMs and an (m, m) solve. This replaces a first-cut dense
+  element-constant (E, E) coarse inverse, which needed an all_gather of
+  per-element residuals and O(E^2) replicated memory — the deflation
+  coarse costs one psum of length m across shards and is optimal per
+  coarse dimension (it removes exactly the modes CG converges slowest on).
+
+Both levels are symmetric by construction, so
+custom_linear_solve(symmetric=True) stays exactly transposable.
 
 Built host-side (numpy/scipy) from the element matrices; applied on device.
 """
@@ -42,11 +48,45 @@ def element_laplacian_matrices(geom: dict, D: np.ndarray) -> np.ndarray:
     return A
 
 
-def build_pressure_precond(mesh, geom: dict, D: np.ndarray
-                           ) -> tuple[np.ndarray, np.ndarray]:
-    """Returns (elem_pinv (E, n^2, n^2), coarse_inv (E, E))."""
-    A_el = element_laplacian_matrices(geom, D)
+def _assemble_sparse(mesh, A_el: np.ndarray) -> sp.csr_matrix:
     E, m, _ = A_el.shape
+    gid = mesh.gid.reshape(E, m)
+    rows = np.repeat(gid, m, axis=1).ravel()
+    cols = np.tile(gid, (1, m)).ravel()
+    A = sp.coo_matrix((A_el.ravel(), (rows, cols)),
+                      shape=(mesh.nglobal, mesh.nglobal)).tocsr()
+    A.sum_duplicates()
+    return A
+
+
+def _lowest_modes(A_ff: sp.csr_matrix, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(lam, V) — k smallest-eigenvalue modes of the SPD(ish) sparse A_ff."""
+    nf = A_ff.shape[0]
+    k = min(k, max(nf - 3, 1))
+    if nf <= 2000:
+        lam, V = np.linalg.eigh(A_ff.toarray())
+        return lam[:k], V[:, :k]
+    from scipy.sparse.linalg import eigsh
+    # shift-invert about 0: smallest eigenvalues converge fastest
+    lam, V = eigsh(A_ff.tocsc(), k=k, sigma=0, which="LM")
+    order = np.argsort(lam)
+    return lam[order], V[:, order]
+
+
+def build_pressure_precond(mesh, geom: dict, D: np.ndarray,
+                           maskg_p: np.ndarray, has_outflow: bool,
+                           n_deflate: int = 128, local_layout: bool = True,
+                           deflation: bool = True
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (elem_pinv (E, n^2, n^2), Z, C_inv (m, m)).
+
+    Z is the deflation basis in the layout the solve runs in:
+    local (m, E, n, n) for the slice-exchange (gs2) path, global (m, G)
+    for the assembled-dof fallback path.
+    """
+    A_el = element_laplacian_matrices(geom, D)
+    E, msz, _ = A_el.shape
+    n = geom["g11"].shape[-1]
 
     # per-element pseudo-inverse (zero the constant-mode eigenvalue), batched
     w, V = np.linalg.eigh(A_el)
@@ -54,17 +94,93 @@ def build_pressure_precond(mesh, geom: dict, D: np.ndarray
     winv = np.where(w > 1e-10 * wmax, 1.0 / np.where(w == 0, 1, w), 0.0)
     elem_pinv = np.einsum("eak,ek,ebk->eab", V, winv, V)
 
-    # assembled sparse A and coarse space P (multiplicity-weighted indicators)
-    gid = mesh.gid.reshape(E, m)
-    multinv = (1.0 / mesh.mult).reshape(E, m)
-    rows = np.repeat(gid, m, axis=1).ravel()
-    cols = np.tile(gid, (1, m)).ravel()
-    vals = A_el.ravel()
-    A = sp.coo_matrix((vals, (rows, cols)),
-                      shape=(mesh.nglobal, mesh.nglobal)).tocsr()
-    P = sp.coo_matrix((multinv.ravel(),
-                       (gid.ravel(), np.repeat(np.arange(E), m))),
-                      shape=(mesh.nglobal, E)).tocsr()
-    Ac = (P.T @ A @ P).toarray()
-    coarse_inv = np.linalg.pinv(Ac, rcond=1e-10)
-    return elem_pinv, coarse_inv
+    if not deflation:
+        return elem_pinv, None, None
+
+    # ---- spectral deflation basis --------------------------------------
+    A = _assemble_sparse(mesh, A_el)
+    G = mesh.nglobal
+    if has_outflow:
+        free = np.flatnonzero(np.asarray(maskg_p) > 0)
+    else:
+        free = np.arange(G)
+    lam, Vf = _lowest_modes(A[free][:, free], n_deflate + 2)
+    # drop (near-)nullspace modes: the enclosed-flow constant is handled by
+    # the CG mean projection, not the coarse solve
+    lmax = max(lam.max(), 1.0)
+    keep = lam > 1e-10 * lmax
+    lam, Vf = lam[keep][:n_deflate], Vf[:, keep][:, :n_deflate]
+    Vg = np.zeros((G, lam.size))
+    Vg[free] = Vf
+
+    gid = mesh.gid
+    if local_layout:
+        # Z = W M Q V  (multiplicity-weighted masked scatter to local layout)
+        mloc = (1.0 / mesh.mult) * mesh.mask_p          # (E, n, n)
+        Z = np.transpose(Vg[gid], (3, 0, 1, 2)) * mloc  # (m, E, n, n)
+        # Galerkin coarse matrix C = Z^T A_sym Z with
+        # A_sym y = M dssum(A_loc dssum(M y)) (stepper._pressure_solver_gs2)
+        def np_dssum1(u):
+            g = np.zeros(G)
+            np.add.at(g, gid.ravel(), u.ravel())
+            return g[gid]
+
+        mz = lam.size
+        Y = np.stack([np_dssum1(mesh.mask_p * Z[i]) for i in range(mz)])
+        AY = np.einsum("eab,meb->mea", A_el, Y.reshape(mz, E, msz))
+        AZ = np.stack([mesh.mask_p * np_dssum1(AY[i].reshape(E, n, n))
+                       for i in range(mz)])
+        C = Z.reshape(mz, -1) @ AZ.reshape(mz, -1).T
+    else:
+        Z = (np.asarray(maskg_p)[:, None] * Vg).T        # (m, G)
+        C = np.diag(lam)                                 # V orthonormal on free
+    C_inv = np.linalg.pinv(C, rcond=1e-12, hermitian=True)
+    return elem_pinv, Z, C_inv
+
+
+def bilinear_embed(n: int) -> np.ndarray:
+    """Q1 (bilinear) embedding on the reference element: (n^2, 4) matrix
+    mapping the 4 vertex values [v(0,0), v(0,1), v(1,0), v(1,1)] (the
+    [::n-1, ::n-1] corner ordering) to all GLL nodes."""
+    from ..quadrature import make_basis
+    xi = make_basis(n).x                    # GLL points in [-1, 1]
+    l0 = 0.5 * (1.0 - xi)
+    l1 = 0.5 * (1.0 + xi)
+    cols = [np.outer(l0, l0), np.outer(l0, l1),
+            np.outer(l1, l0), np.outer(l1, l1)]
+    return np.stack([c.reshape(-1) for c in cols], axis=1)
+
+
+def build_vertex_coarse(mesh, A_el: np.ndarray):
+    """Vertex-FEM (Q1) coarse level — the classic SEM coarse grid (the
+    reference gets it from Nek5000's semg/XXT solvers, 1cyl.par:29):
+
+      z_c = R A_c^+ R^T r,   R = (scatter vertex -> element corners) o Q1,
+      A_c = R^T A R  (Galerkin on the element matrices).
+
+    Contains all element-wise-smooth content (in particular every
+    element-constant mode, which the fine Schwarz level annihilates).
+    Returns (Jb (n^2, 4), vidx, vgid, Ac_inv (NV, NV)) — vertex assembly
+    reuses the qsum/qcopy gather tables on the (4E,) corner slots.
+    """
+    import scipy.sparse as sp
+
+    from .gslib import build_gs_tables
+
+    E, msz, _ = A_el.shape
+    n = int(round(np.sqrt(msz)))
+    Jb = bilinear_embed(n)                                # (n^2, 4)
+    gc = mesh.gid[:, ::n - 1, ::n - 1].reshape(-1)        # (4E,)
+    verts, inv = np.unique(gc, return_inverse=True)
+    NV = len(verts)
+    vidx = build_gs_tables(inv.reshape(-1, 1), NV)
+    vgid = inv.astype(np.int32)
+
+    # Galerkin coarse matrix: Ac[vi, vj] += (Jb^T A_el Jb)[a, b]
+    Ael_c = np.einsum("qa,eqr,rb->eab", Jb, A_el, Jb)     # (E, 4, 4)
+    iv = inv.reshape(E, 4)
+    rows = np.repeat(iv, 4, axis=1).ravel()
+    cols = np.tile(iv, (1, 4)).ravel()
+    Ac = sp.coo_matrix((Ael_c.ravel(), (rows, cols)), shape=(NV, NV)).toarray()
+    Ac_inv = np.linalg.pinv(Ac, rcond=1e-10, hermitian=True)
+    return Jb, vidx, vgid, Ac_inv

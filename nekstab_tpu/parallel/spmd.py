@@ -52,7 +52,15 @@ def context_specs(ctx: SemContext, axis: str = "e") -> SemContext:
         xcoord=e3, ycoord=e3, bm_eig=e3, gid=e3,
         gid_flat=P(axis), gs_idx=rep,
         p_schwarz=None if ctx.p_schwarz is None else e3,
-        p_coarse=None if ctx.p_coarse is None else e3,
+        # deflation basis: element-sharded in local layout (m, E, n, n),
+        # replicated in the global-dof fallback layout (m, G)
+        p_defl_z=None if ctx.p_defl_z is None
+        else (P(None, axis) if ctx.p_defl_z.ndim == 4 else rep),
+        p_defl_c=None if ctx.p_defl_c is None else rep,
+        # vertex coarse: small embed matrix + global vertex tables + dense
+        # NV x NV inverse, all replicated (corner slot values cross shards
+        # through the qsum gather, which GSPMD lowers to one small gather)
+        p_vfem=None if ctx.p_vfem is None else (rep, rep, rep, rep),
         gs2_plan=ctx.gs2_plan,
         gs2_rv=None if ctx.gs2_rv is None else (rep, rep),
         jd=None if ctx.jd is None else rep,

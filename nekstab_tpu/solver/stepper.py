@@ -161,28 +161,32 @@ def _pressure_solver(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
         gl = scatter(ctx, ctx.maskg_p * g)
         return ctx.maskg_p * assemble(ctx, weak_laplacian(ctx, gl))
 
-    if ctx.p_schwarz is not None:
-        nn = ctx.n * ctx.n
-        # shapes derived from the (possibly shard-local) arrays, not metadata
-        mloc = ctx.multinv.reshape(-1, nn)
+    nn = ctx.n * ctx.n
+    mloc = ctx.multinv.reshape(-1, nn)
 
-        def precond(r):
-            # two-level additive Schwarz (ops/precond.py): batched element
-            # pseudo-inverse solves + element-constant coarse correction
+    def precond(r):
+        # fine level: element-Schwarz pseudo-inverses or Jacobi; coarse
+        # level: spectral deflation Z C^-1 Z^T r (p_defl_z is (m, G) here)
+        if ctx.p_schwarz is not None:
             rl = scatter(ctx, r).reshape(-1, nn) * mloc
             ze = jnp.einsum("eab,eb->ea", ctx.p_schwarz, rl)
-            rc = jnp.sum(rl, axis=1)
-            if ctx.axis_name is not None:
-                # coarse residual over ALL elements; p_coarse rows are
-                # element-sharded, so the product stays shard-local
-                rc = jax.lax.all_gather(rc, ctx.axis_name, tiled=True)
-            zc = ctx.p_coarse @ rc
-            zl = (ze + zc[:, None]) * mloc
-            z = assemble(ctx, zl.reshape(ctx.bm.shape))
-            return ctx.maskg_p * z
-    else:
-        def precond(r):
-            return ctx.maskg_p * r / ctx.diag_ag
+            z = assemble(ctx, (ze * mloc).reshape(ctx.bm.shape))
+        else:
+            z = r / ctx.diag_ag
+        if ctx.p_defl_z is not None:
+            c = ctx.p_defl_z @ r
+            z = z + ctx.p_defl_z.T @ (ctx.p_defl_c @ c)
+        if ctx.p_vfem is not None:
+            # vertex-Q1 coarse grid (ops/precond.build_vertex_coarse)
+            from ..ops.gslib import qcopy, qsum
+            Jb, vidx, vgid, Aci = ctx.p_vfem
+            t = (scatter(ctx, r) * ctx.multinv).reshape(-1, nn)
+            rv = qsum(jnp.einsum("qa,eq->ea", Jb, t).reshape(-1), vidx, vgid)
+            zc = qcopy(Aci @ rv, vidx, vgid).reshape(-1, 4)
+            zl = (jnp.einsum("qa,ea->eq", Jb, zc).reshape(ctx.bm.shape)
+                  * ctx.multinv)
+            z = z + assemble(ctx, zl)
+        return ctx.maskg_p * z
 
     if has_outflow:
         def project(g):
@@ -213,6 +217,46 @@ def _pressure_solver(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
     return solve
 
 
+def make_pressure_precond_gs2(ctx: SemContext):
+    """The local-space (gs2) pressure preconditioner application — exposed
+    for diagnostics (tools/) and reused by the stepper."""
+    mask = ctx.mask_p
+    nn = ctx.n * ctx.n
+
+    def precond(r):
+        # fine level: element Schwarz (multiplicity-weighted on both sides
+        # => Euclidean-symmetric) or point Jacobi; coarse level: spectral
+        # deflation zc = Z C^-1 Z^T r — two skinny GEMMs; under sharding
+        # the only communication is the psum of the (m,) coefficients
+        # (replaces an all_gather-based dense (E, E) coarse inverse)
+        if ctx.p_schwarz is not None:
+            rl = (ctx.multinv * (mask * r)).reshape(-1, nn)
+            ze = jnp.einsum("eab,eb->ea", ctx.p_schwarz, rl)
+            z = (ze.reshape(ctx.bm.shape)) * ctx.multinv
+        else:
+            z = (mask * r) / ctx.diag_a
+        if ctx.p_defl_z is not None:
+            c = jnp.einsum("meij,eij->m", ctx.p_defl_z, r)
+            if ctx.axis_name is not None:
+                c = jax.lax.psum(c, ctx.axis_name)
+            z = z + jnp.einsum("m,meij->eij", ctx.p_defl_c @ c, ctx.p_defl_z)
+        if ctx.p_vfem is not None:
+            # vertex-Q1 coarse grid (ops/precond.build_vertex_coarse):
+            # restrict to element corners (one small GEMM), assemble the
+            # NV vertex residual (gather-only qsum), dense coarse solve,
+            # prolong back — the reference's semg coarse-grid role
+            from ..ops.gslib import qcopy, qsum
+            Jb, vidx, vgid, Aci = ctx.p_vfem
+            t = (ctx.multinv * (mask * r)).reshape(-1, nn)
+            rv = qsum(jnp.einsum("qa,eq->ea", Jb, t).reshape(-1), vidx, vgid)
+            zc = qcopy(Aci @ rv, vidx, vgid).reshape(-1, 4)
+            z = z + (jnp.einsum("qa,ea->eq", Jb, zc).reshape(ctx.bm.shape)
+                     * ctx.multinv)
+        return mask * z
+
+    return precond
+
+
 def _pressure_solver_gs2(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
     from ..ops.gather_scatter import dssum
 
@@ -221,24 +265,7 @@ def _pressure_solver_gs2(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
     def amat(y):
         return mask * dssum(ctx, weak_laplacian(ctx, dssum(ctx, mask * y)))
 
-    if ctx.p_schwarz is not None:
-        nn = ctx.n * ctx.n
-        mloc = ctx.multinv.reshape(-1, nn)
-
-        def precond(r):
-            # two-level Schwarz, fully element-local (multiplicity-weighted
-            # on both sides => Euclidean-symmetric; no communication)
-            rl = (ctx.multinv * (mask * r)).reshape(-1, nn)
-            ze = jnp.einsum("eab,eb->ea", ctx.p_schwarz, rl)
-            rc = jnp.sum(rl, axis=1)
-            if ctx.axis_name is not None:
-                rc = jax.lax.all_gather(rc, ctx.axis_name, tiled=True)
-            zc = ctx.p_coarse @ rc
-            z = ((ze + zc[:, None]).reshape(ctx.bm.shape)) * ctx.multinv
-            return mask * z
-    else:
-        def precond(r):
-            return mask * r / ctx.diag_a
+    precond = make_pressure_precond_gs2(ctx)
 
     if has_outflow:
         def project(y):

@@ -81,7 +81,8 @@ def test_block_recovery(mesh_fn, name):
     assert plan is not None
     rng = np.random.default_rng(3)
     u = rng.normal(size=(m.nelem, m.n, m.n))
-    got = np.asarray(dssum2(jnp.asarray(u), plan, jnp.asarray(Rv)))
+    got = np.asarray(dssum2(jnp.asarray(u), plan,
+                            tuple(jnp.asarray(a) for a in Rv)))
     assert np.max(np.abs(got - _oracle_dssum(m, u))) < 1e-12
 
 
@@ -214,5 +215,6 @@ def test_block_recovery_scrambled():
     from nekstab_tpu.ops.gslib2 import build_plan, dssum2
     plan, Rv = build_plan(m)
     u = np.random.default_rng(8).normal(size=(m.nelem, m.n, m.n))
-    got = np.asarray(dssum2(jnp.asarray(u), plan, jnp.asarray(Rv)))
+    got = np.asarray(dssum2(jnp.asarray(u), plan,
+                            tuple(jnp.asarray(a) for a in Rv)))
     assert np.max(np.abs(got - _oracle_dssum(m, u))) < 1e-12

@@ -101,3 +101,20 @@ def test_spectra_files(tmp_path):
     series.append(0.2, 1e-4)
     data = np.loadtxt(str(tmp_path / "residu.dat"))
     assert data.shape == (2, 2)
+
+
+def test_arnoldi_checkpoint_pytree(tmp_path):
+    """Pytree bases (e.g. the UPO (u, period) tuples) checkpoint/resume."""
+    import jax
+    import jax.numpy as jnp
+    from nekstab_tpu.io.checkpoint import load_arnoldi, save_arnoldi
+
+    Q = (jnp.arange(24.0).reshape(4, 6), jnp.asarray([1.0, 2.0, 3.0, 4.0]))
+    H = np.arange(12.0).reshape(4, 3)
+    save_arnoldi(tmp_path / "k.npz", Q, H, 2, tau=0.5)
+    Q2, H2, m, meta = load_arnoldi(tmp_path / "k.npz", dtype=jnp.float64,
+                                   like=Q)
+    assert m == 2 and float(meta["tau"]) == 0.5
+    assert jax.tree.structure(Q2) == jax.tree.structure(Q)
+    for a, b in zip(jax.tree.leaves(Q2), jax.tree.leaves(Q)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
