@@ -1,22 +1,28 @@
-"""Benchmark: linearized-NS matvec throughput on the flagship cylinder case.
+"""Benchmark: the BASELINE.json metric on the flagship configuration.
 
 Prints ONE JSON line:
-  {"metric": "lin_ns_matvecs_per_sec_chip", "value": N, "unit": "matvec/s",
+  {"metric": "lin_ns_matvecs_per_sec_chip", "value": N, "unit": "...",
    "vs_baseline": R, ...}
 
-The metric follows BASELINE.json ("linearized-NS matvecs/sec/chip"): one
-matvec = nsteps linearized NS time steps (tau = 1.0 at dt = 2.5e-3, i.e. 400
-steps — the reference's sampling period on the cylinder,
-examples/cylinder/stability/direct/1cyl.par endTime=1.0).
+Configuration = the INGESTED REFERENCE CYLINDER MESH (1996 elements, lx1=6,
+examples/cylinder/stability/direct) with tau = 1.0 sampling at dt = 1e-2
+(CFL 0.34; the reference targets CFL 0.5), f32 on the TPU chip:
 
-The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
-measured against this repo running the identical configuration on the host
-CPU (2 cores, float32) — the portable stand-in for the reference's
-laptop-class CPU envelope (SURVEY.md §4). CPU_BASELINE_MATVECS_PER_SEC was
-measured with `python bench.py --cpu` on the round-1 container.
+  * value          — sequential linearized-NS matvecs/sec/chip (1 matvec =
+                     100 lin-NS steps = exp(tau L) at tau=1).
+  * block8_*       — the same through the vmap-batched block propagator
+                     (8 simultaneous perturbations; the reference is
+                     hard-limited to npert=1, core/matvec.f:10-14).
+  * ritz_*         — wall-time to k=20 converged Ritz pairs via block
+                     Krylov-Schur (k_dim=96, block=8) about the Newton base
+                     flow, eigen_tol at the f32 matvec noise floor.
+  * vs_baseline    — ratio of value to this repo's own host run of the
+                     identical configuration (2-core CPU, f64 sparse-direct
+                     solves: 8.5 steps/s measured, = 0.085 matvec/s). The
+                     reference publishes no throughput numbers (BASELINE.md).
 
 Run on TPU (default session env):   python bench.py
-Re-measure the CPU baseline:        JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python bench.py --cpu
+Quick (skip the Ritz stage):        python bench.py --no-ritz
 """
 
 import argparse
@@ -27,74 +33,123 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# amortize the (remote) TPU compile across runs
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+from nekstab_tpu.utils.compilecache import enable as enable_cache
+
+enable_cache()
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# measured on this container's 2-core CPU, same mesh/config/float32, see --cpu
-# (steps/s is nsteps-invariant; ~2 lin-NS steps/s on the 618-element mesh)
-CPU_BASELINE_STEPS_PER_SEC = 2.0
+REF_FLD = "/root/reference/examples/cylinder/stability/direct/BF_1cyl0.f00001"
+BF_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "examples", "_bf_refmesh_dt0.01.npz")
+CPU_BASELINE_STEPS_PER_SEC = 8.5   # this repo, host f64 sparse-direct path
+DT = 1e-2
+TAU = 1.0
 
 
-def build(nsteps: int, vtol=1e-4, ptol=1e-4):
-    from nekstab_tpu.models.cylinder import cylinder_system, freestream_ic
-    from nekstab_tpu.utils import add_noise
-
-    # f32 operating point: CG stagnates near 1e-5 relative residual in f32,
-    # so tighter tolerances just burn maxiter every solve
-    sys_ = cylinder_system(n=6, dt=2.5e-3, dtype=jnp.float32,
-                           vtol=vtol, ptol=ptol)
+def build():
     import dataclasses
-    sys_.cfg = dataclasses.replace(sys_.cfg, vmaxit=80, pmaxit=150)
-    prop = sys_.linear_propagator(nsteps)
-    base = freestream_ic(sys_)
-    v = add_noise(sys_.ctx, seed=1)
-    return sys_, prop, base, v
+    from nekstab_tpu.models.cylinder import (cylinder_reference_system,
+                                             cylinder_system, freestream_ic)
+    if os.path.exists(REF_FLD):
+        sys_, base = cylinder_reference_system(
+            REF_FLD, dt=DT, dtype=jnp.float32, vtol=1e-5, ptol=1e-5,
+            pressure_precond="schwarz_vfem")
+        sys_.cfg = dataclasses.replace(sys_.cfg, vmaxit=60, pmaxit=250)
+        if os.path.exists(BF_CACHE):
+            from nekstab_tpu.io.checkpoint import load_field
+            u, _, _ = load_field(BF_CACHE, dtype=sys_.ctx.dtype)
+            base = jnp.asarray(u)
+    else:   # fallback: generated cylinder mesh
+        sys_ = cylinder_system(n=6, dt=DT, dtype=jnp.float32, vtol=1e-5,
+                               ptol=1e-5)
+        base = freestream_ic(sys_)
+    return sys_, base
 
 
-def main(cpu_mode: bool = False, nsteps: int = 400, nmatvec: int = 3):
+def main(do_ritz=True, nmatvec=3):
+    from nekstab_tpu.utils import add_noise
     t_all = time.time()
-    sys_, prop, base, v = build(nsteps)
-    sponge = sys_.sponge_fun
-    print(f"# mesh: {sys_.mesh.nelem} elements, n={sys_.ctx.n}, "
+    nsteps = int(round(TAU / DT))
+    sys_, base = build()
+    ctx = sys_.ctx
+    print(f"# mesh: {sys_.mesh.nelem} elements, n={ctx.n}, "
           f"{sys_.mesh.nglobal} dofs; backend={jax.default_backend()}",
           file=sys.stderr)
 
+    prop = sys_.linear_propagator(nsteps)
+    sponge = sys_.sponge_fun
+    v = add_noise(ctx, seed=1)
     t0 = time.time()
     u, _ = prop(base, sponge, v)
     jax.block_until_ready(u)
     compile_wall = time.time() - t0
     print(f"# first matvec (incl. compile): {compile_wall:.1f}s",
           file=sys.stderr)
-
     t0 = time.time()
     for _ in range(nmatvec):
         u, _ = prop(base, sponge, u)
     jax.block_until_ready(u)
-    wall = time.time() - t0
-    mv_per_sec = nmatvec / wall
+    mv_per_sec = nmatvec / (time.time() - t0)
+
+    # block-8 batched matvec
+    propb = sys_.linear_propagator_block(nsteps)
+    V = jnp.stack([add_noise(ctx, seed=s) for s in range(8)])
+    t0 = time.time()
+    W = propb(base, sponge, V)
+    jax.block_until_ready(W)
+    blk_compile = time.time() - t0
+    t0 = time.time()
+    W = propb(base, sponge, W)
+    jax.block_until_ready(W)
+    blk_wall = time.time() - t0
+    blk_mv_per_sec = 8.0 / blk_wall
+
     result = {
         "metric": "lin_ns_matvecs_per_sec_chip",
         "value": round(mv_per_sec, 5),
-        "unit": f"matvec/s (1 matvec = {nsteps} lin-NS steps, "
-                f"{sys_.mesh.nglobal} dofs, f32)",
-        "vs_baseline": round(mv_per_sec * nsteps / CPU_BASELINE_STEPS_PER_SEC, 2),
+        "unit": f"matvec/s (1 matvec = exp(tau L), tau=1.0 = {nsteps} lin-NS "
+                f"steps, reference cylinder mesh {sys_.mesh.nglobal} dofs, "
+                f"f32)",
+        "vs_baseline": round(mv_per_sec * nsteps / CPU_BASELINE_STEPS_PER_SEC,
+                             2),
         "steps_per_sec": round(mv_per_sec * nsteps, 2),
+        "block8_matvecs_per_sec": round(blk_mv_per_sec, 5),
+        "block8_steps_per_sec": round(blk_mv_per_sec * nsteps, 2),
         "backend": jax.default_backend(),
         "compile_s": round(compile_wall, 1),
-        "total_wall_s": round(time.time() - t_all, 1),
+        "block_compile_s": round(blk_compile, 1),
     }
+
+    if do_ritz:
+        from nekstab_tpu.algorithms import block_krylov_schur
+        from nekstab_tpu.config import ArnoldiConfig
+        # f64 orthogonalization (mixed precision)
+        space, mvb = sys_.direct_space_block(base, nsteps, dot64=True)
+        V0 = jnp.stack([add_noise(ctx, seed=100 + s) for s in range(8)])
+        acfg = ArnoldiConfig(k_dim=96, eigen_tol=3e-4, schur_tgt=20,
+                             max_restarts=3, maxmodes=12)
+        t0 = time.time()
+        ks = block_krylov_schur(space, mvb, V0, acfg, block=8,
+                                logger=lambda s: print(f"# {s}",
+                                                       file=sys.stderr))
+        ritz_wall = time.time() - t0
+        nconv = int(np.sum(ks.residuals < acfg.eigen_tol))
+        result.update(ritz20_wall_s=round(ritz_wall, 1),
+                      ritz_converged=nconv,
+                      ritz_kdim=acfg.k_dim,
+                      ritz_tol=acfg.eigen_tol)
+
+    result["total_wall_s"] = round(time.time() - t_all, 1)
     print(json.dumps(result))
     return result
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cpu", action="store_true",
-                    help="measure the CPU baseline configuration")
-    ap.add_argument("--nsteps", type=int, default=400)
+    ap.add_argument("--no-ritz", action="store_true")
     ap.add_argument("--nmatvec", type=int, default=3)
     args = ap.parse_args()
-    main(cpu_mode=args.cpu, nsteps=args.nsteps, nmatvec=args.nmatvec)
+    main(do_ritz=not args.no_ritz, nmatvec=args.nmatvec)

@@ -44,8 +44,12 @@ DEFAULT_FLD = "/root/reference/examples/cylinder/stability/direct/BF_1cyl0.f0000
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+SCHEME = "pnpn"
+
+
 def bf_cache(dt):
-    return os.path.join(HERE, f"_bf_refmesh_dt{dt:g}.npz")
+    tag = "" if SCHEME == "pnpn" else f"_{SCHEME}"
+    return os.path.join(HERE, f"_bf_refmesh{tag}_dt{dt:g}.npz")
 
 
 def build(fld, tpu: bool, dt: float):
@@ -53,10 +57,12 @@ def build(fld, tpu: bool, dt: float):
     if tpu:
         import dataclasses
         sys_, base = cylinder_reference_system(
-            fld, dt=dt, dtype=jnp.float32, vtol=1e-6, ptol=1e-6)
+            fld, dt=dt, dtype=jnp.float32, vtol=1e-6, ptol=1e-6,
+            pressure_precond="schwarz_vfem", scheme=SCHEME)
         sys_.cfg = dataclasses.replace(sys_.cfg, vmaxit=100, pmaxit=400)
     else:
-        sys_, base = cylinder_reference_system(fld, dt=dt, host_direct=True)
+        sys_, base = cylinder_reference_system(fld, dt=dt, host_direct=True,
+                                               scheme=SCHEME)
     return sys_, base
 
 
@@ -78,7 +84,6 @@ def stage_residual(fld, tpu, dt):
     stepper: cross-code validation of the discretization + stepping."""
     from nekstab_tpu.analysis import cfl
     from nekstab_tpu.ops import glsc3
-    from nekstab_tpu.solver import initial_state
     t0 = time.time()
     sys_, base = build(fld, tpu, dt)
     ctx = sys_.ctx
@@ -87,7 +92,7 @@ def stage_residual(fld, tpu, dt):
     print(f"CFL(base, dt={dt}): {float(cfl(ctx, base, dt)):.3f}")
     nsteps = int(round(0.25 / dt))
     adv = sys_.nonlinear_advance(nsteps)
-    st, _ = adv(sys_.case, initial_state(ctx, base))
+    st, _ = adv(sys_.case, sys_.initial_state(base))
     jax.block_until_ready(st.u)
     d = st.u - base
     nrm = float(glsc3(ctx, d, ctx.bm, d)) ** 0.5
@@ -130,8 +135,9 @@ def stage_eig(which, fld, tpu, dt, k_dim, tau, tol, schur_tgt, restarts,
     print(f"mesh: {sys_.mesh.nelem} elems, {sys_.mesh.nglobal} dofs, "
           f"backend={jax.default_backend()}, nsteps/matvec={nsteps}, "
           f"op={which}", flush=True)
-    space = (sys_.direct_space(base, nsteps) if which == "direct"
-             else sys_.adjoint_space(base, nsteps))
+    # on TPU: f32 stepper + f64 orthogonalization (mixed precision)
+    space = (sys_.direct_space(base, nsteps, dot64=tpu) if which == "direct"
+             else sys_.adjoint_space(base, nsteps, dot64=tpu))
     v0 = add_noise(ctx, seed=7)
     if seed_from is not None and os.path.exists(seed_from):
         from nekstab_tpu.io.checkpoint import load_field
@@ -161,7 +167,8 @@ def stage_eig(which, fld, tpu, dt, k_dim, tau, tol, schur_tgt, restarts,
     for lv, r in zip(lam[:6], rr[:6]):
         print(f"  sigma={lv.real:+.6e}  omega={lv.imag:+.6e}  res={r:.2e}")
     # persist the factorization for refinement / mode reconstruction
-    out_npz = os.path.join(HERE, f"_ks_{which}_dt{dt:g}.npz")
+    tag = "" if SCHEME == "pnpn" else f"_{SCHEME}"
+    out_npz = os.path.join(HERE, f"_ks_{which}{tag}_dt{dt:g}.npz")
     save_arnoldi(out_npz, np.asarray(ks.Q), ks.H, ks.H.shape[1],
                  evals=ks.evals, tau=nsteps * dt)
     lead = lam[0]
@@ -193,7 +200,9 @@ if __name__ == "__main__":
     ap.add_argument("--schur-tgt", type=int, default=4)
     ap.add_argument("--restarts", type=int, default=8)
     ap.add_argument("--seed-from", default=None)
+    ap.add_argument("--scheme", default="pnpn", choices=["pnpn", "pnpn2"])
     args = ap.parse_args()
+    SCHEME = args.scheme
     if args.stage == "residual":
         stage_residual(args.fld, args.tpu, args.dt)
     elif args.stage == "base":

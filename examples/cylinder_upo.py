@@ -1,0 +1,82 @@
+"""Converge the cylinder Re=60 shedding orbit as a PHYSICAL UPO.
+
+Newton on the period-augmented system F(u, T) = Phi_T(u) - u with the phase
+condition <du/dt|_0, du> = 0 (reference UPO mode 2.1,
+core/newton_krylov.f:79-88 + core/matvec.f:381-475), seeded from the DNS
+limit-cycle snapshot saved by examples/cylinder_floquet.py. The orbit is
+attracting, so this validates the UPO machinery on real physics: Newton must
+reproduce the DNS period and drive |F| far below the DNS drift, and the
+converged period is checked against the St(Re) heuristic
+Stt = 0.208 - 4.16/Re (tools/x_auto_cyl.py:119).
+
+CPU f64 (sparse-direct solves):
+    JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python examples/cylinder_upo.py
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SNAP = os.path.join(HERE, "_floq_cyl_re60.npz")
+
+
+def main(args):
+    from nekstab_tpu.algorithms import newton_upo
+    from nekstab_tpu.io.checkpoint import load_field, save_field
+    from nekstab_tpu.models.cylinder import cylinder_system
+
+    t0 = time.time()
+    if args.tpu:
+        sys_ = cylinder_system(n=6, re=60.0, dt=1e-2, dtype=jnp.float32,
+                               vtol=1e-6, ptol=1e-6, dealias=True)
+    else:
+        sys_ = cylinder_system(n=6, re=60.0, dt=1e-2, dealias=True,
+                               host_direct=True)
+    ctx = sys_.ctx
+    u0, _, meta = load_field(SNAP, dtype=ctx.dtype)
+    T0 = float(meta["T"])
+    norbit = int(meta["norbit"])
+    print(f"mesh: {sys_.mesh.nelem} elems, backend={jax.default_backend()}; "
+          f"seed T0={T0:.6f} norbit={norbit}", flush=True)
+
+    res = newton_upo(sys_, jnp.asarray(u0), T0, norbit, tol=args.tol,
+                     maxiter=args.maxiter, k_dim=args.kdim,
+                     logger=lambda s: print(s, flush=True))
+    st_heur = 0.208 - 4.16 / 60.0
+    out = {
+        "converged": res.converged,
+        "period": res.period,
+        "St": 1.0 / res.period,
+        "St_heuristic": st_heur,
+        "dSt": 1.0 / res.period - st_heur,
+        "residual": res.residuals[-1],
+        "niter": res.niter,
+        "backend": jax.default_backend(),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    save_field(os.path.join(HERE, "_upo_cyl_re60.npz"), np.asarray(res.u),
+               T=res.period, residual=res.residuals[-1])
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--tol", type=float, default=1e-8)
+    ap.add_argument("--maxiter", type=int, default=8)
+    ap.add_argument("--kdim", type=int, default=50)
+    args = ap.parse_args()
+    main(args)

@@ -43,14 +43,16 @@ class FlowSystem:
                  sponge_fun: np.ndarray | None = None,
                  sponge_strength: float = 0.0, dealias: bool | int = False,
                  host_direct: bool = False,
-                 pressure_precond: bool | str = True, n_deflate: int = 128):
+                 pressure_precond: bool | str = True, n_deflate: int = 128,
+                 scheme: str = "pnpn"):
         self.mesh = mesh
         self.cfg = cfg
+        self.scheme = scheme
         self.ctx: SemContext = make_context(
             mesh, dtype=dtype, axis_name=axis_name, sponge_ramp=sponge_fun,
             nscalars=1 if cfg.boussinesq else 0, dealias=dealias,
             host_direct=host_direct, pressure_precond=pressure_precond,
-            n_deflate=n_deflate)
+            n_deflate=n_deflate, scheme=scheme)
         # unit-strength ramp for the linearized equations
         # (core/utils.f:174-177: perturbation sponge strength always 1)
         if sponge_fun is None:
@@ -80,6 +82,25 @@ class FlowSystem:
         ctx = self.ctx
         return lambda a, b: glsc3(ctx, a, ctx.bm, b)
 
+    @property
+    def dot64(self):
+        """Mass-weighted inner product accumulated in float64 regardless of
+        the field dtype — the mixed-precision TPU orthogonalization path
+        (SURVEY §7 hard part 4): v5e has no usable f64 matmul, but f64
+        elementwise/reduction on the VPU is fine, so CGS2 coefficients and
+        Ritz algebra run at f64 while the stepper stays f32."""
+        ctx = self.ctx
+        w = ctx.bm_eig
+
+        def d(a, b):
+            s = jnp.sum(a.astype(jnp.float64) * w.astype(jnp.float64)
+                        * b.astype(jnp.float64))
+            if ctx.axis_name is not None:
+                s = jax.lax.psum(s, ctx.axis_name)
+            return s
+
+        return d
+
     # ------------------------------------------------------------------
     # propagators
     # ------------------------------------------------------------------
@@ -88,36 +109,59 @@ class FlowSystem:
             self._cache[key] = builder()
         return self._cache[key]
 
+    @property
+    def _builders(self):
+        """(make_advance, make_linear_propagator, make_adjoint_propagator)
+        for the configured scheme (pnpn splitting / pnpn2 projection)."""
+        if self.scheme == "pnpn2":
+            from .solver.proj import (make_adjoint_propagator2,
+                                      make_advance2,
+                                      make_linear_propagator2)
+            return make_advance2, make_linear_propagator2, \
+                make_adjoint_propagator2
+        return make_advance, make_linear_propagator, make_adjoint_propagator
+
+    def initial_state(self, u0, p0=None):
+        """Scheme-appropriate initial NSState/NSState2."""
+        if self.scheme == "pnpn2":
+            from .solver.proj import initial_state2
+            return initial_state2(self.ctx, u0, p0)
+        from .solver.stepper import initial_state
+        return initial_state(self.ctx, u0, p0)
+
     def nonlinear_advance(self, nsteps: int, collect: bool = False):
         """Jitted nonlinear advance: (case, state) -> (state', aux)."""
+        mk_adv = self._builders[0]
         return self._get(("adv", nsteps, collect), lambda: jax.jit(
-            make_advance(self.ctx, self.cfg, self.mesh.has_outflow, nsteps,
-                         collect=collect)))
+            mk_adv(self.ctx, self.cfg, self.mesh.has_outflow, nsteps,
+                   collect=collect)))
 
     def linear_propagator(self, nsteps: int):
+        mk_lin = self._builders[1]
         return self._get(("lin", nsteps), lambda: jax.jit(
-            make_linear_propagator(self.ctx, self.cfg,
-                                   self.mesh.has_outflow, nsteps)))
+            mk_lin(self.ctx, self.cfg, self.mesh.has_outflow, nsteps)))
 
     def adjoint_propagator(self, nsteps: int):
+        mk_adj = self._builders[2]
         return self._get(("adj", nsteps), lambda: jax.jit(
-            make_adjoint_propagator(self.ctx, self.cfg,
-                                    self.mesh.has_outflow, nsteps)))
+            mk_adj(self.ctx, self.cfg, self.mesh.has_outflow, nsteps)))
 
     # ------------------------------------------------------------------
     # Arnoldi operator spaces (uparam 3.x dispatch, core/matvec.f:124-151)
     # ------------------------------------------------------------------
-    def direct_space(self, base_u, nsteps: int) -> ArnoldiSpace:
+    def direct_space(self, base_u, nsteps: int,
+                     dot64: bool = False) -> ArnoldiSpace:
         prop = self.linear_propagator(nsteps)
         sp = self.sponge_fun
         return ArnoldiSpace(matvec=lambda v: prop(base_u, sp, v)[0],
-                            dot=self.dot)
+                            dot=self.dot64 if dot64 else self.dot)
 
-    def adjoint_space(self, base_u, nsteps: int) -> ArnoldiSpace:
+    def adjoint_space(self, base_u, nsteps: int,
+                      dot64: bool = False) -> ArnoldiSpace:
         adj = self.adjoint_propagator(nsteps)
         sp = self.sponge_fun
         return ArnoldiSpace(matvec=lambda v: adj(base_u, sp, v)[0],
-                            dot=self.dot)
+                            dot=self.dot64 if dot64 else self.dot)
 
     def linear_propagator_block(self, nsteps: int):
         """vmap-batched linearized propagator: (base_u, sponge, V (b, ...))
@@ -125,21 +169,23 @@ class FlowSystem:
         and collective — the block-Arnoldi matvec (the reference cannot do
         this: npert forced to 1, core/matvec.f:10-14)."""
         def build():
-            prop = make_linear_propagator(self.ctx, self.cfg,
-                                          self.mesh.has_outflow, nsteps)
+            prop = self._builders[1](self.ctx, self.cfg,
+                                     self.mesh.has_outflow, nsteps)
             return jax.jit(jax.vmap(lambda bu, sp, v: prop(bu, sp, v)[0],
                                     in_axes=(None, None, 0)))
         return self._get(("linb", nsteps), build)
 
-    def direct_space_block(self, base_u, nsteps: int):
+    def direct_space_block(self, base_u, nsteps: int, dot64: bool = False):
         """(ArnoldiSpace, matvec_block) for algorithms.block_krylov_schur."""
         propb = self.linear_propagator_block(nsteps)
         sp = self.sponge_fun
+
         def mv1(v):
             w = propb(base_u, sp, jax.tree.map(lambda x: x[None], v))
             return jax.tree.map(lambda x: x[0], w)
 
-        space = ArnoldiSpace(matvec=mv1, dot=self.dot)
+        space = ArnoldiSpace(matvec=mv1,
+                             dot=self.dot64 if dot64 else self.dot)
         return space, lambda V: propb(base_u, sp, V)
 
     def transient_growth_space(self, base_u, nsteps: int) -> ArnoldiSpace:
@@ -176,7 +222,7 @@ class FlowSystem:
         ctx, case = self.ctx, self.case
 
         def phi(q):
-            st, _ = adv(case, initial_state(ctx, q))
+            st, _ = adv(case, self.initial_state(q))
             return st.u
 
         def residual(q):

@@ -84,6 +84,26 @@ class HostDirect:
         return x
 
     # ------------------------------------------------------------------
+    def set_pnpn2(self, D_sp, wdiag: np.ndarray, has_outflow: bool):
+        """Factorize the PN/PN-2 pressure operator E = D W D^T
+        (hostsolve/pnpn2.py). Enclosed flows pin one pressure dof (the
+        nullspace is the global constant); callers project the mean."""
+        from .pnpn2 import build_E_sparse
+        E = build_E_sparse(D_sp, wdiag)
+        npd = E.shape[0]
+        efree = np.arange(npd) if has_outflow else np.arange(1, npd)
+        self._efree = efree
+        self._elu = self._splu(E[efree][:, efree].tocsc())
+
+    def solve_e(self, b):
+        b = np.asarray(b)
+        shp = b.shape
+        bf = b.reshape(-1)
+        x = np.zeros_like(bf)
+        x[self._efree] = self._elu.solve(bf[self._efree])
+        return x.reshape(shp)
+
+    # ------------------------------------------------------------------
     def _helm_factor(self, comp: int, nu: float, g0dt: float):
         key = (comp, nu, g0dt)
         lu_free = self._hcache.get(key)

@@ -32,11 +32,13 @@ def kovasznay_exact(re: float, x, y):
 def channel_system(n: int = 7, nelx: int = 4, nely: int = 4,
                    re: float = 40.0, dt: float = 2e-3, *,
                    dtype=jnp.float64, vtol: float = 1e-11,
-                   ptol: float = 1e-10) -> FlowSystem:
+                   ptol: float = 1e-10, scheme: str = "pnpn",
+                   host_direct: bool = False) -> FlowSystem:
     mesh = box_mesh(n, nelx, nely, -0.5, 1.0, -0.5, 0.5,
                     bc_fn=lambda x, y, nrm: "V")
     cfg = NSConfig(re=re, dt=dt, vtol=vtol, ptol=ptol)
-    sys = FlowSystem(mesh, cfg, None, dtype=dtype)
+    sys = FlowSystem(mesh, cfg, None, dtype=dtype, scheme=scheme,
+                     host_direct=host_direct)
     ctx = sys.ctx
     u_bc = jnp.asarray(
         dirichlet_values(mesh, {"V": lambda x, y: kovasznay_exact(re, x, y)}),

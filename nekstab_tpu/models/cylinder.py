@@ -123,7 +123,8 @@ def cylinder_system(n: int = 6, re: float = 50.0, dt: float = 2.5e-3,
                     sponge_strength: float = 1.7, dtype=jnp.float64,
                     vtol: float = 1e-9, ptol: float = 1e-7,
                     axis_name: str | None = None, dealias: bool | int = False,
-                    host_direct: bool = False, **mesh_kw) -> FlowSystem:
+                    host_direct: bool = False, scheme: str = "pnpn",
+                    **mesh_kw) -> FlowSystem:
     """FlowSystem for the cylinder benchmark (freestream u=(1,0), outflow at
     x=xmax, box sponge at the x-extremes as the reference case)."""
     mesh = cylinder_mesh(n, **mesh_kw)
@@ -131,7 +132,7 @@ def cylinder_system(n: int = 6, re: float = 50.0, dt: float = 2.5e-3,
     spng = sponge_fun_box(mesh.x, mesh.y, xl=sponge_xl, xr=sponge_xr)
     sys = FlowSystem(mesh, cfg, None, dtype=dtype, axis_name=axis_name,
                      sponge_fun=spng, sponge_strength=sponge_strength,
-                     dealias=dealias, host_direct=host_direct)
+                     dealias=dealias, host_direct=host_direct, scheme=scheme)
     ctx = sys.ctx
     u_bc = jnp.asarray(dirichlet_values(
         mesh, {"V": lambda x, y: (np.ones_like(x), np.zeros_like(x))}),
@@ -153,6 +154,7 @@ def cylinder_reference_system(fld_path: str, *, re: float = 50.0,
                               dealias: bool | int = True,
                               pressure_precond: bool = True,
                               host_direct: bool = False,
+                              scheme: str = "pnpn",
                               **cfg_kw):
     """FlowSystem on the REFERENCE discretization: ingest the curved GLL
     geometry carried by a reference field file (e.g. the shipped converged
@@ -192,7 +194,8 @@ def cylinder_reference_system(fld_path: str, *, re: float = 50.0,
     spng = sponge_fun_box(mesh.x, mesh.y, xl=sponge_xl, xr=sponge_xr)
     sys = FlowSystem(mesh, cfg, None, dtype=dtype, sponge_fun=spng,
                      sponge_strength=sponge_strength, dealias=dealias,
-                     host_direct=host_direct)
+                     host_direct=host_direct, scheme=scheme,
+                     pressure_precond=pressure_precond)
     ctx = sys.ctx
     u_bc = jnp.asarray(dirichlet_values(
         mesh, {"V": lambda xx, yy: (np.ones_like(xx), np.zeros_like(xx))}),

@@ -31,7 +31,7 @@ from ..quadrature import make_basis
                       "xcoord", "ycoord", "bm_eig", "gid", "gid_flat",
                       "gs_idx", "p_schwarz", "p_defl_z", "p_defl_c",
                       "p_vfem", "bwn", "gs2_rv",
-                      "jd", "wd", "dmet", "axdiag", "rinv", "bm_adj"],
+                      "jd", "wd", "dmet", "axdiag", "rinv", "bm_adj", "p2"],
          meta_fields=["n", "nelem", "nglobal", "axis_name", "gs2_plan",
                       "hsolve"])
 @dataclasses.dataclass(frozen=True)
@@ -100,6 +100,11 @@ class SemContext:
     axdiag: jnp.ndarray | None
     rinv: jnp.ndarray | None
     bm_adj: jnp.ndarray | None
+    # PN/PN-2 mesh-2 machinery (solver/proj.py): pressure on the (n-2)^2
+    # Gauss grid — (j2 (n-2, n) interp, w2 (n-2, n-2) weights,
+    # met2 (4, E, n-2, n-2) metric polynomials [ys, xs, yr, xr],
+    # e_diag (E, n-2, n-2) diagonal of the E operator for Jacobi precond)
+    p2: tuple | None = None
     # host-side sparse-direct factorized solves (hostsolve/direct.py), or
     # None -> iterative CG solves. Static: hashable by identity.
     hsolve: object | None = None
@@ -173,7 +178,8 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
                  nscalars: int = 0,
                  mask_t: np.ndarray | None = None,
                  dealias: bool | int = False,
-                 host_direct: bool = False) -> SemContext:
+                 host_direct: bool = False,
+                 scheme: str = "pnpn") -> SemContext:
     """Build the device context. `sponge_ramp` (E,n,n, >=0) marks the sponge
     zone; the eigensolver inner-product weight bm_eig is zeroed wherever the
     ramp is active (reference: bm1s, core/usr_extra.f:104-128)."""
@@ -251,6 +257,28 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
                 mesh, element_laplacian_matrices(g, g["D"]))
             p_vfem = (dev(jb), jnp.asarray(vi), jnp.asarray(vg), dev(aci))
 
+    p2 = None
+    if scheme == "pnpn2":
+        # PN/PN-2 mesh-2 (the reference's lx2 = lx1-2 configuration,
+        # examples/cylinder/stability/direct/SIZE): pressure on interior
+        # Gauss points, metric polynomials interpolated exactly
+        if mesh.axisym:
+            raise NotImplementedError("pnpn2 + axisymmetric: use pnpn")
+        from ..quadrature import make_dealias as _mk
+        d2 = _mk(mesh.n, mesh.n - 2)
+        met = np.stack([g["rx"] * g["jac"], -g["ry"] * g["jac"],
+                        -g["sx"] * g["jac"], g["sy"] * g["jac"]])
+        met2 = np.einsum("ai,bj,keij->keab", d2.J, d2.J, met)
+        w2 = np.outer(d2.wg, d2.wg)
+        from ..hostsolve.pnpn2 import build_D_sparse, e_diagonal
+        D_sp = build_D_sparse(mesh, g["D"], d2.J, w2, met2)
+        wdiag = (maskg_vel[:2] / bmg).reshape(-1)
+        ediag = e_diagonal(D_sp, wdiag).reshape(
+            (mesh.nelem, mesh.n - 2, mesh.n - 2))
+        p2 = (dev(d2.J), dev(w2), dev(met2), dev(ediag))
+        if hsolve is not None:
+            hsolve.set_pnpn2(D_sp, wdiag, bool(mesh.has_outflow))
+
     jd = wd = dmet = None
     if dealias:
         from ..quadrature import make_dealias
@@ -286,4 +314,4 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
         bwn=dev(mesh.bwn if mesh.bwn is not None
                 else np.zeros((2,) + mesh.x.shape)),
         xcoord=dev(mesh.x), ycoord=dev(mesh.y), bm_eig=dev(bm_eig),
-        hsolve=hsolve)
+        p2=p2, hsolve=hsolve)
