@@ -4,8 +4,9 @@ These are the hot kernels of the framework: every field derivative is a pair of
 small batched matmuls (the classic "fast tensor-product" trick), expressed so
 XLA maps them onto the MXU as one large (E*n, n) x (n, n) GEMM per direction.
 The reference obtains the same operations from Nek5000's mxm-based local
-operators (SURVEY.md L1); here they are native XLA einsums, with a Pallas
-fused variant for the full gradient planned in ops/pallas_kernels.py.
+operators (SURVEY.md L1); here they are native XLA einsums, with a fused
+Pallas variant of the weak Laplacian in ops/pallas_kernels.py
+(NEKSTAB_PALLAS=1 to enable; see docs/ROOFLINE.md for when it pays).
 
 Conventions: fields are (..., E, n, n) with index [e, i, j]; i is the r-index,
 j the s-index. All functions are linear in the field argument (required for
@@ -14,9 +15,15 @@ j the s-index. All functions are linear in the field argument (required for
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from .context import SemContext
+
+# opt-in fused Pallas kernel for the weak Laplacian (ops/pallas_kernels.py);
+# read once at import — flip NEKSTAB_PALLAS=1 in the environment
+_USE_PALLAS = os.environ.get("NEKSTAB_PALLAS", "0") == "1"
 
 
 def deriv_r(D: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
@@ -53,6 +60,9 @@ def mass(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
 def weak_laplacian(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
     """Element-local weak Laplacian A u (assemble with dssum afterwards):
     (A u)_q = int grad(u) . grad(phi_q), via the G-factor form."""
+    if _USE_PALLAS:
+        from .pallas_kernels import weak_laplacian_fused
+        return weak_laplacian_fused(ctx, u)
     ur = deriv_r(ctx.D, u)
     us = deriv_s(ctx.D, u)
     wr = ctx.g11 * ur + ctx.g12 * us
