@@ -101,16 +101,21 @@ def stage_residual(fld, tpu, dt):
           f"[{nsteps} steps in {time.time()-t0:.0f}s]")
 
 
-def stage_base(fld, tpu, dt, newton_tau, tol):
+def stage_base(fld, tpu, dt, newton_tau, tol, seed_bf=None, k_dim=130):
     """Newton-converge OUR base flow on the reference mesh, seeded from the
-    reference's converged BF (the closest possible start)."""
+    reference's converged BF (or --seed-bf, e.g. the other scheme's BF)."""
     from nekstab_tpu.io.checkpoint import save_field
     t0 = time.time()
     sys_, ref_base = build(fld, tpu, dt)
+    if seed_bf is not None and os.path.exists(seed_bf):
+        from nekstab_tpu.io.checkpoint import load_field
+        u, _, _ = load_field(seed_bf, dtype=sys_.ctx.dtype)
+        ref_base = jnp.asarray(u)
+        print(f"newton seed from {seed_bf}", flush=True)
     print(f"mesh: {sys_.mesh.nelem} elems, {sys_.mesh.nglobal} dofs, "
           f"backend={jax.default_backend()}, dt={dt}", flush=True)
-    res = sys_.newton_base_flow(ref_base, tau=newton_tau, tol=tol, k_dim=130,
-                                maxiter=10,
+    res = sys_.newton_base_flow(ref_base, tau=newton_tau, tol=tol,
+                                k_dim=k_dim, maxiter=10,
                                 logger=lambda s: print(s, flush=True))
     print(f"newton: converged={res.converged} iters={res.niter} "
           f"|F|={res.residuals[-1]:.3e} wall {time.time()-t0:.0f}s")
@@ -201,13 +206,15 @@ if __name__ == "__main__":
     ap.add_argument("--restarts", type=int, default=8)
     ap.add_argument("--seed-from", default=None)
     ap.add_argument("--scheme", default="pnpn", choices=["pnpn", "pnpn2"])
+    ap.add_argument("--seed-bf", default=None)
+    ap.add_argument("--newton-kdim", type=int, default=130)
     args = ap.parse_args()
     SCHEME = args.scheme
     if args.stage == "residual":
         stage_residual(args.fld, args.tpu, args.dt)
     elif args.stage == "base":
         stage_base(args.fld, args.tpu, args.dt, args.newton_tau,
-                   args.newton_tol)
+                   args.newton_tol, args.seed_bf, args.newton_kdim)
     else:
         which = "direct" if args.stage == "eig" else "adjoint"
         stage_eig(which, args.fld, args.tpu, args.dt, args.kdim, args.tau,

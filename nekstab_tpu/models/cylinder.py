@@ -124,6 +124,7 @@ def cylinder_system(n: int = 6, re: float = 50.0, dt: float = 2.5e-3,
                     vtol: float = 1e-9, ptol: float = 1e-7,
                     axis_name: str | None = None, dealias: bool | int = False,
                     host_direct: bool = False, scheme: str = "pnpn",
+                    pressure_precond: bool | str = True,
                     **mesh_kw) -> FlowSystem:
     """FlowSystem for the cylinder benchmark (freestream u=(1,0), outflow at
     x=xmax, box sponge at the x-extremes as the reference case)."""
@@ -132,7 +133,8 @@ def cylinder_system(n: int = 6, re: float = 50.0, dt: float = 2.5e-3,
     spng = sponge_fun_box(mesh.x, mesh.y, xl=sponge_xl, xr=sponge_xr)
     sys = FlowSystem(mesh, cfg, None, dtype=dtype, axis_name=axis_name,
                      sponge_fun=spng, sponge_strength=sponge_strength,
-                     dealias=dealias, host_direct=host_direct, scheme=scheme)
+                     dealias=dealias, host_direct=host_direct, scheme=scheme,
+                     pressure_precond=pressure_precond)
     ctx = sys.ctx
     u_bc = jnp.asarray(dirichlet_values(
         mesh, {"V": lambda x, y: (np.ones_like(x), np.zeros_like(x))}),

@@ -254,7 +254,8 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
                 p_defl_z, p_defl_c = dev(zd), dev(cd)
         if "vfem" in mode:
             jb, vi, vg, aci = build_vertex_coarse(
-                mesh, element_laplacian_matrices(g, g["D"]))
+                mesh, element_laplacian_matrices(g, g["D"]),
+                mask_loc=mesh.mask_p)
             p_vfem = (dev(jb), jnp.asarray(vi), jnp.asarray(vg), dev(aci))
 
     p2 = None

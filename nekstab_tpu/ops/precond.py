@@ -151,7 +151,8 @@ def bilinear_embed(n: int) -> np.ndarray:
     return np.stack([c.reshape(-1) for c in cols], axis=1)
 
 
-def build_vertex_coarse(mesh, A_el: np.ndarray):
+def build_vertex_coarse(mesh, A_el: np.ndarray,
+                        mask_loc: np.ndarray | None = None):
     """Vertex-FEM (Q1) coarse level — the classic SEM coarse grid (the
     reference gets it from Nek5000's semg/XXT solvers, 1cyl.par:29):
 
@@ -176,8 +177,16 @@ def build_vertex_coarse(mesh, A_el: np.ndarray):
     vidx = build_gs_tables(inv.reshape(-1, 1), NV)
     vgid = inv.astype(np.int32)
 
-    # Galerkin coarse matrix: Ac[vi, vj] += (Jb^T A_el Jb)[a, b]
-    Ael_c = np.einsum("qa,eqr,rb->eab", Jb, A_el, Jb)     # (E, 4, 4)
+    # Galerkin coarse matrix: Ac[vi, vj] += (R^T A_el R)[a, b] with the
+    # Dirichlet mask folded into the prolongation R = M_e Jb — without it
+    # the coarse matrix is all-Neumann singular and the pinv drops the
+    # quasi-constant mode, leaving one isolated O(1e-4) eigenvalue in the
+    # preconditioned spectrum (measured: kappa 1.9e5 -> the CG stalls)
+    if mask_loc is not None:
+        Jm = mask_loc.reshape(E, msz, 1) * Jb[None]       # (E, n^2, 4)
+        Ael_c = np.einsum("eqa,eqr,erb->eab", Jm, A_el, Jm)
+    else:
+        Ael_c = np.einsum("qa,eqr,rb->eab", Jb, A_el, Jb)  # (E, 4, 4)
     iv = inv.reshape(E, 4)
     rows = np.repeat(iv, 4, axis=1).ravel()
     cols = np.tile(iv, (1, 4)).ravel()

@@ -94,8 +94,10 @@ def make_linear_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
                 return mv * dssum(ctx, helm_local(dssum(ctx, mv * y), g0))
 
             def hprecond(r):
-                return mv * r / ((g0 / dt) * ctx.bm_assembled
-                                 + nu_c * ctx.diag_a)
+                # C P C^T sandwich (see stepper.make_pressure_precond_gs2)
+                t = ctx.multinv * dssum(ctx, mv * r)
+                z = t / ((g0 / dt) * ctx.bm_assembled + nu_c * ctx.diag_a)
+                return mv * dssum(ctx, ctx.multinv * z)
 
             def hproject(y):
                 return mv * y

@@ -219,11 +219,20 @@ def _pressure_solver(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
 
 def make_pressure_precond_gs2(ctx: SemContext):
     """The local-space (gs2) pressure preconditioner application — exposed
-    for diagnostics (tools/) and reused by the stepper."""
+    for diagnostics (tools/) and reused by the stepper.
+
+    The core (Schwarz/Jacobi fine level + coarse corrections) is sandwiched
+    as C P C^T with C = M S W (mask, dssum, inverse multiplicity): the
+    local-space operator A_sym = M S A S M annihilates everything outside
+    the continuous subspace range(M S), and a preconditioner that leaks
+    into that nullspace feeds CG search directions with p^T A p ~ 0 —
+    observed as erratic/stalling residuals. The sandwich keeps P symmetric
+    PSD and its range inside range(M S)."""
+    from ..ops.gather_scatter import dssum as _dssum
     mask = ctx.mask_p
     nn = ctx.n * ctx.n
 
-    def precond(r):
+    def _core(r):
         # fine level: element Schwarz (multiplicity-weighted on both sides
         # => Euclidean-symmetric) or point Jacobi; coarse level: spectral
         # deflation zc = Z C^-1 Z^T r — two skinny GEMMs; under sharding
@@ -253,6 +262,11 @@ def make_pressure_precond_gs2(ctx: SemContext):
             z = z + (jnp.einsum("qa,ea->eq", Jb, zc).reshape(ctx.bm.shape)
                      * ctx.multinv)
         return mask * z
+
+    def precond(r):
+        t = ctx.multinv * _dssum(ctx, mask * r)
+        z = _core(t)
+        return mask * _dssum(ctx, ctx.multinv * z)
 
     return precond
 
@@ -371,8 +385,11 @@ def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
                 return mv * dssum(ctx, helm_local(dssum(ctx, mv * y), g0, dt))
 
             def hprecond(r):
-                return mv * r / ((g0 / dt) * ctx.bm_assembled
-                                 + nu_c * ctx.diag_a)
+                # C P C^T sandwich: keep the preconditioner's range inside
+                # the continuous subspace (see make_pressure_precond_gs2)
+                t = ctx.multinv * dssum(ctx, mv * r)
+                z = t / ((g0 / dt) * ctx.bm_assembled + nu_c * ctx.diag_a)
+                return mv * dssum(ctx, ctx.multinv * z)
 
             def hproject(y):
                 return mv * y
