@@ -32,7 +32,7 @@ from nekstab_tpu.utils import add_noise
 def main(re=1000.0, n=6, nel=5, nsteps=100, k_dim=30, tol=1e-6,
          outdir="out/cavity"):
     t0 = time.time()
-    sys_ = cavity_system(n=n, nel=nel, re=re, dt=5e-3)
+    sys_ = cavity_system(n=n, nel=nel, re=re, dt=5e-3, host_direct=True)
     ctx = sys_.ctx
     print(f"mesh: {sys_.mesh.nelem} elements, {sys_.mesh.nglobal} dofs, Re={re}")
 
@@ -64,6 +64,14 @@ def main(re=1000.0, n=6, nel=5, nsteps=100, k_dim=30, tol=1e-6,
     print(f"direct/adjoint leading-eigenvalue gap: {gap:.3e} "
           f"(reference ~2.4e-5)")
 
+    # mode fields as Nek .f files (outpost_ks analog; readable by the
+    # reference toolchain and standard viz readers)
+    from nekstab_tpu.analysis import outpost_ks
+    outpost_ks(sys_, ks_d, nsteps, which="d", directory=outdir,
+               session="cav", maxmodes=4, tol=tol)
+    outpost_ks(sys_, ks_a, nsteps, which="a", directory=outdir,
+               session="cav", maxmodes=4, tol=tol)
+
     # structural sensitivity (wavemaker) from the leading direct/adjoint pair
     d_re, d_im = ks_d.reconstruct_mode(0)
     a_re, a_im = ks_a.reconstruct_mode(0)
@@ -71,6 +79,14 @@ def main(re=1000.0, n=6, nel=5, nsteps=100, k_dim=30, tol=1e-6,
     sens = bf_sensitivity(ctx, d_re, d_im, a_re, a_im)
     print(f"wavemaker max={float(wm.max()):.4f}; "
           f"|total_re| max={float(abs(sens['total_re']).max()):.4f}")
+    # wavemaker + base-flow-sensitivity fields (reference wm_/sr_/si_)
+    from nekstab_tpu.io.nekfile import write_fld
+    x, y = np.asarray(ctx.xcoord), np.asarray(ctx.ycoord)
+    write_fld(os.path.join(outdir, "wm_cav0.f00001"), x=x, y=y,
+              p=np.asarray(wm))
+    write_fld(os.path.join(outdir, "sr_cav0.f00001"), x=x, y=y,
+              u=np.asarray(sens["total_re"][0]),
+              v=np.asarray(sens["total_re"][1]))
     write_run_info(outdir, "d", re=re, k_dim=k_dim, tau=tau, tol=tol,
                    nelem=sys_.mesh.nelem, nglobal=sys_.mesh.nglobal,
                    wall_s=round(time.time() - t0, 1))

@@ -69,8 +69,12 @@ class ArnoldiSpace:
         return jnp.sqrt(self.dot(v, v))
 
     def normalize(self, v):
+        # guarded against exact ("lucky") breakdown: with direct-factorized
+        # solves the Krylov residual can vanish to machine zero, and 1/0
+        # would poison the basis with NaN before GMRES sees the tolerance
         nrm = self.norm(v)
-        return tree_scale(1.0 / nrm, v), nrm
+        safe = jnp.where(nrm > 0, nrm, 1.0)
+        return tree_scale(jnp.where(nrm > 0, 1.0 / safe, 0.0), v), nrm
 
 
 def make_cgs2(dot: Callable):

@@ -65,7 +65,22 @@ def newton_krylov(residual_fn: Callable, jacobian_matvec: Callable,
         space = ArnoldiSpace(matvec=jacobian_matvec(q), dot=dot)
         dq, info = gmres(space, f, ksize=k_dim, rtol=rtol_eff,
                          max_outer=gmres_max_outer, logger=logger)
-        q = jax.tree.map(lambda a, b: a - b, q, dq)
+        # backtracking line search (globalization the reference lacks —
+        # its Newton assumes a good startFrom file): halve the step until
+        # sufficient decrease, keep the best trial if none qualifies
+        s_step, best = 1.0, None
+        for _ in range(6):
+            q_try = jax.tree.map(lambda a, b, s=s_step: a - s * b, q, dq)
+            f_try = residual_fn(q_try)
+            r_try = float(np.sqrt(dot(f_try, f_try)))
+            if best is None or (np.isfinite(r_try) and r_try < best[1]):
+                best = (q_try, r_try)
+            if np.isfinite(r_try) and r_try < (1.0 - 1e-4 * s_step) * rnorm:
+                break
+            s_step *= 0.5
+            logger(f"[newton]   backtrack: |F(q - {2 * s_step:g} dq)| = "
+                   f"{r_try:.3e} >= {rnorm:.3e}")
+        q = best[0]
     f = residual_fn(q)
     rnorm = float(np.sqrt(dot(f, f)))
     res_hist.append(rnorm)

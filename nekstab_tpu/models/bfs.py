@@ -68,17 +68,25 @@ def bfs_reference_system(re2_path: str, n: int = 6, re: float = 500.0,
                          dt: float = 2e-3, *, dtype=jnp.float64,
                          vtol: float = 1e-9, ptol: float = 1e-8,
                          dealias: bool | int = True,
+                         sponge_xl: float = 5.0, sponge_xr: float = 10.0,
+                         sponge_strength: float = 2.0,
+                         host_direct: bool = False, scheme: str = "pnpn",
                          **cfg_kw) -> FlowSystem:
     """FlowSystem on the REFERENCE back_fstep discretization: ingest the
     v003 .re2 (examples/back_fstep/baseflow/bfs.re2) with the boundary-id
     table the reference sets in bfs.usr usrdat2 (setbc: 4 -> inflow 'v',
-    2 -> outflow 'O', 3 -> wall 'W') and the same parabolic inflow
-    4 y (1 - y) (compute_inflow, bfs.usr)."""
+    2 -> outflow 'O', 3 -> wall 'W'), the same parabolic inflow
+    4 y (1 - y) (compute_inflow, bfs.usr), and the transient-growth case's
+    box sponge (bfs.par userParam08-10: left 5, right 10, strength 2)."""
     from ..io.re2 import mesh_from_re2
+    from ..utils.sponge import sponge_fun_box
     mesh = mesh_from_re2(re2_path, n=n,
                          bid_map={1: "W", 2: "O", 3: "W", 4: "V"})
     cfg = NSConfig(re=re, dt=dt, vtol=vtol, ptol=ptol, **cfg_kw)
-    sys_ = FlowSystem(mesh, cfg, None, dtype=dtype, dealias=dealias)
+    spng = sponge_fun_box(mesh.x, mesh.y, xl=sponge_xl, xr=sponge_xr)
+    sys_ = FlowSystem(mesh, cfg, None, dtype=dtype, dealias=dealias,
+                      sponge_fun=spng, sponge_strength=sponge_strength,
+                      host_direct=host_direct, scheme=scheme)
     ctx = sys_.ctx
 
     def inflow(x, y):
@@ -86,6 +94,7 @@ def bfs_reference_system(re2_path: str, n: int = 6, re: float = 500.0,
 
     u_bc = jnp.asarray(dirichlet_values(mesh, {"V": inflow}), ctx.dtype)
     z2 = jnp.zeros_like(u_bc)
-    sys_.case = CaseFields(u_bc=u_bc, f=z2, sponge=jnp.zeros_like(ctx.bm),
+    sys_.case = CaseFields(u_bc=u_bc, f=z2,
+                           sponge=sponge_strength * sys_.sponge_fun,
                            sponge_ref=z2)
     return sys_

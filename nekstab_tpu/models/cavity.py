@@ -20,11 +20,13 @@ from ..solver.stepper import CaseFields
 def cavity_system(n: int = 7, nel: int = 6, re: float = 1000.0,
                   dt: float = 2e-3, *, dtype=jnp.float64,
                   vtol: float = 1e-10, ptol: float = 1e-9,
-                  axis_name: str | None = None) -> FlowSystem:
+                  axis_name: str | None = None, host_direct: bool = False,
+                  scheme: str = "pnpn") -> FlowSystem:
     mesh = box_mesh(n, nel, nel, 0.0, 1.0, 0.0, 1.0,
                     bc_fn=lambda x, y, nrm: "V")
     cfg = NSConfig(re=re, dt=dt, vtol=vtol, ptol=ptol)
-    sys = FlowSystem(mesh, cfg, None, dtype=dtype, axis_name=axis_name)
+    sys = FlowSystem(mesh, cfg, None, dtype=dtype, axis_name=axis_name,
+                     host_direct=host_direct, scheme=scheme)
     ctx = sys.ctx
 
     def lid(x, y):
