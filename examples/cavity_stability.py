@@ -30,7 +30,7 @@ from nekstab_tpu.utils import add_noise
 
 
 def main(re=1000.0, n=6, nel=5, nsteps=100, k_dim=30, tol=1e-6,
-         outdir="out/cavity"):
+         outdir="out/cavity", smoke=False):
     t0 = time.time()
     sys_ = cavity_system(n=n, nel=nel, re=re, dt=5e-3, host_direct=True)
     ctx = sys_.ctx
@@ -91,9 +91,23 @@ def main(re=1000.0, n=6, nel=5, nsteps=100, k_dim=30, tol=1e-6,
                    nelem=sys_.mesh.nelem, nglobal=sys_.mesh.nglobal,
                    wall_s=round(time.time() - t0, 1))
     print(f"total wall: {time.time()-t0:.0f}s; outputs in {outdir}/")
+    if smoke:
+        # machinery-only pass: at smoke resolution the Ritz pairs are not
+        # converged to 1e-6, so only exercise the chain end-to-end
+        assert np.isfinite(gap)
+        print("SMOKE PASS")
+        return
     assert gap < 1e-6, "direct/adjoint agreement FAILED"
     print("PASS")
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true")
+    args = ap.parse_args()
+    if args.smoke:
+        main(re=300.0, n=4, nel=3, nsteps=10, k_dim=6, tol=1e-2,
+             outdir="out/cavity_smoke", smoke=True)
+    else:
+        main()

@@ -73,6 +73,21 @@ def main(args):
     print(f"mesh: {sys_.mesh.nelem} elems, {sys_.mesh.nglobal} dofs, "
           f"backend={jax.default_backend()}", flush=True)
 
+    if args.smoke:
+        # machinery-only pass for the regression runner (examples/smoke.py):
+        # tiny fake orbit -> Fourier compression -> one Floquet matvec
+        norbit = 8
+        st, (_, orbit) = sys_.nonlinear_advance(norbit, collect=True)(
+            sys_.case, initial_state(ctx, base))
+        fo = compress_orbit(orbit, energy=args.energy)
+        w, _ = sys_.linear_propagator(norbit)(fo, sys_.sponge_fun,
+                                              add_noise(ctx, seed=1))
+        nrm = float(jnp.linalg.norm(w.ravel()))
+        assert np.isfinite(nrm) and nrm > 0
+        print(f"SMOKE PASS ({time.time()-t0:.0f}s, |Mv|={nrm:.3e})",
+              flush=True)
+        return
+
     # --- 1. DNS to the limit cycle --------------------------------------
     # start from the Re=50 steady state with a localized cross-stream
     # impulse in the near wake: it projects strongly on the antisymmetric
@@ -184,4 +199,5 @@ if __name__ == "__main__":
     ap.add_argument("--fourier", action="store_true", default=True)
     ap.add_argument("--no-fourier", dest="fourier", action="store_false")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--smoke", action="store_true")
     main(ap.parse_args())

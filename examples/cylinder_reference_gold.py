@@ -79,7 +79,7 @@ def load_base(sys_, fld, tpu, dt):
     return None
 
 
-def stage_residual(fld, tpu, dt):
+def stage_residual(fld, tpu, dt, horizon=0.25):
     """||Phi_tau(BF) - BF|| of the reference base flow under OUR nonlinear
     stepper: cross-code validation of the discretization + stepping."""
     from nekstab_tpu.analysis import cfl
@@ -90,15 +90,16 @@ def stage_residual(fld, tpu, dt):
     print(f"mesh: {sys_.mesh.nelem} elems, n={ctx.n}, {sys_.mesh.nglobal} "
           f"dofs, backend={jax.default_backend()}")
     print(f"CFL(base, dt={dt}): {float(cfl(ctx, base, dt)):.3f}")
-    nsteps = int(round(0.25 / dt))
+    nsteps = int(round(horizon / dt))
     adv = sys_.nonlinear_advance(nsteps)
     st, _ = adv(sys_.case, sys_.initial_state(base))
     jax.block_until_ready(st.u)
     d = st.u - base
     nrm = float(glsc3(ctx, d, ctx.bm, d)) ** 0.5
     ref = float(glsc3(ctx, base, ctx.bm, base)) ** 0.5
-    print(f"||Phi_0.25(BF) - BF||_B = {nrm:.3e} (rel {nrm / ref:.3e}) "
+    print(f"||Phi_{horizon:g}(BF) - BF||_B = {nrm:.3e} (rel {nrm / ref:.3e}) "
           f"[{nsteps} steps in {time.time()-t0:.0f}s]")
+    assert np.isfinite(nrm)
 
 
 def stage_base(fld, tpu, dt, newton_tau, tol, seed_bf=None, k_dim=130):
@@ -208,10 +209,12 @@ if __name__ == "__main__":
     ap.add_argument("--scheme", default="pnpn", choices=["pnpn", "pnpn2"])
     ap.add_argument("--seed-bf", default=None)
     ap.add_argument("--newton-kdim", type=int, default=130)
+    ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     SCHEME = args.scheme
     if args.stage == "residual":
-        stage_residual(args.fld, args.tpu, args.dt)
+        stage_residual(args.fld, args.tpu, args.dt,
+                       horizon=0.05 if args.smoke else 0.25)
     elif args.stage == "base":
         stage_base(args.fld, args.tpu, args.dt, args.newton_tau,
                    args.newton_tol, args.seed_bf, args.newton_kdim)

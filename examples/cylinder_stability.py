@@ -38,7 +38,8 @@ GOLD_OMEGA = 7.565285e-1
 
 
 def main(full: bool = False, warmup_tu: float = 30.0, k_dim: int = 48,
-         tau: float = 0.5, newton_tau: float = 0.25, tpu: bool = False):
+         tau: float = 0.5, newton_tau: float = 0.25, tpu: bool = False,
+         smoke: bool = False):
     t_start = time.time()
     if tpu:
         # f32 on the real chip: CG stagnates near 1e-5 relative residual
@@ -68,8 +69,11 @@ def main(full: bool = False, warmup_tu: float = 30.0, k_dim: int = 48,
 
     # --- 2. Newton-Krylov to the steady base flow ------------------------
     newton_tol = 2e-5 if tpu else 1e-9
-    res = sys_.newton_base_flow(st.u, tau=newton_tau, tol=newton_tol, k_dim=40,
-                                maxiter=20)
+    if smoke:
+        newton_tol, k_dim = 1e30, 4   # machinery-only (examples/smoke.py)
+    res = sys_.newton_base_flow(st.u, tau=newton_tau, tol=newton_tol,
+                                k_dim=6 if smoke else 40,
+                                maxiter=1 if smoke else 20)
     print(f"newton: converged={res.converged} iters={res.niter} "
           f"|F|={res.residuals[-1]:.3e} (wall {time.time()-t_start:.0f}s)")
     base = res.q
@@ -78,8 +82,9 @@ def main(full: bool = False, warmup_tu: float = 30.0, k_dim: int = 48,
     nsteps = int(round(tau / sys_.cfg.dt))
     space = sys_.direct_space(base, nsteps)
     v0 = add_noise(ctx, seed=7)
-    acfg = ArnoldiConfig(k_dim=k_dim, eigen_tol=tol, schur_tgt=2,
-                         max_restarts=8, maxmodes=8)
+    acfg = ArnoldiConfig(k_dim=k_dim, eigen_tol=1e30 if smoke else tol,
+                         schur_tgt=2, max_restarts=1 if smoke else 8,
+                         maxmodes=8)
     ks = krylov_schur(space, v0, acfg)
     lam = log_transform(ks.evals, tau=nsteps * sys_.cfg.dt)
     order = np.argsort(-lam.real)
@@ -101,5 +106,9 @@ if __name__ == "__main__":
     ap.add_argument("--full", action="store_true")
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--warmup", type=float, default=30.0)
+    ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
-    main(full=args.full, warmup_tu=args.warmup, tpu=args.tpu)
+    if args.smoke:
+        main(warmup_tu=0.2, tau=0.05, newton_tau=0.05, smoke=True)
+    else:
+        main(full=args.full, warmup_tu=args.warmup, tpu=args.tpu)

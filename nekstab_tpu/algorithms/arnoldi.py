@@ -32,11 +32,15 @@ def tree_set(Q, i, v):
 
 
 def tree_axpy(a, x, y):
-    return jax.tree.map(lambda xl, yl: a * xl + yl, x, y)
+    # scalar cast to the leaf dtype: with x64 enabled for the f64 inner
+    # products (driver.dot64) the coefficients arrive as strong float64 and
+    # must not promote the f32 basis to (TPU-emulated) f64
+    return jax.tree.map(
+        lambda xl, yl: jnp.asarray(a, xl.dtype) * xl + yl, x, y)
 
 
 def tree_scale(a, x):
-    return jax.tree.map(lambda xl: a * xl, x)
+    return jax.tree.map(lambda xl: jnp.asarray(a, xl.dtype) * xl, x)
 
 
 def tree_zeros_like(v):
@@ -51,8 +55,14 @@ def tree_alloc(v, m: int):
 def tree_combine(Q, coeffs):
     """sum_i coeffs[i] * Q[i] over the stacked leading axis (krylov_matmul,
     reference core/krylov_subspace.f:214-258). coeffs may be (k,) or (k, m) —
-    the latter returns a stacked pytree of m combinations."""
-    return jax.tree.map(lambda x: jnp.tensordot(coeffs, x, axes=(0, 0)), Q)
+    the latter returns a stacked pytree of m combinations. Coefficients are
+    cast to the basis dtype: the combination GEMM must run at the basis
+    precision (f64 coeffs would otherwise promote an f32 basis to an
+    emulated-f64 matmul on TPU)."""
+    return jax.tree.map(
+        lambda x: jnp.tensordot(jnp.asarray(coeffs, x.dtype), x,
+                                axes=(0, 0),
+                                precision=jax.lax.Precision.HIGHEST), Q)
 
 
 @dataclass
@@ -74,6 +84,7 @@ class ArnoldiSpace:
         # would poison the basis with NaN before GMRES sees the tolerance
         nrm = self.norm(v)
         safe = jnp.where(nrm > 0, nrm, 1.0)
+        # tree_scale casts the (possibly f64) reciprocal to the leaf dtype
         return tree_scale(jnp.where(nrm > 0, 1.0 / safe, 0.0), v), nrm
 
 

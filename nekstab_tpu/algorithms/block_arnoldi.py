@@ -58,16 +58,36 @@ def make_block_cgs2(dot: Callable):
     return cgs2
 
 
-def _block_qr(space: ArnoldiSpace, W):
+class BlockBreakdownError(RuntimeError):
+    """Block QR hit a non-finite or pathologically ill-conditioned Gram
+    matrix — almost always operator blow-up upstream (a diverging
+    propagator), which the 1e-14 trace-floor regularization would otherwise
+    silently absorb (VERDICT r2 Weak #8)."""
+
+
+def _block_qr(space: ArnoldiSpace, W, cond_max: float = 1e24):
     """Cholesky-QR (x2 for stability): W = Q R with Q orthonormal in the
-    space's inner product. Returns (Q, R) with R (b, b) host numpy."""
+    space's inner product. Returns (Q, R) with R (b, b) host numpy.
+
+    Fails fast (BlockBreakdownError) on NaN/Inf Gram entries or an estimated
+    condition number beyond cond_max — genuine rank deficiency after
+    deflation sits orders of magnitude below that; beyond it the block is
+    garbage and regularizing would hide the divergence."""
     b = jax.tree.leaves(W)[0].shape[0]
     R = np.eye(b)
     for _ in range(2):
         G = np.asarray(jax.vmap(
             lambda wi: jax.vmap(lambda wj: space.dot(wi, wj))(W))(W),
             dtype=np.float64)
+        if not np.all(np.isfinite(G)):
+            raise BlockBreakdownError("non-finite block Gram matrix "
+                                      "(operator blow-up?)")
         G = 0.5 * (G + G.T)
+        ev = np.linalg.eigvalsh(G)
+        if ev[-1] <= 0 or ev[-1] / max(ev[0], 1e-300) > cond_max:
+            raise BlockBreakdownError(
+                f"block Gram matrix condition {ev[-1] / max(ev[0], 1e-300):.2e}"
+                f" exceeds {cond_max:.0e} (rank collapse / divergence)")
         # regularize: block may be near rank-deficient after deflation
         lam_floor = 1e-14 * max(np.trace(G) / b, 1e-300)
         Rc = np.linalg.cholesky(G + lam_floor * np.eye(b)).T   # upper

@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 import jax.numpy as jnp
+from jax import lax
 
 from .context import SemContext
 
@@ -25,24 +26,32 @@ from .context import SemContext
 # read once at import — flip NEKSTAB_PALLAS=1 in the environment
 _USE_PALLAS = os.environ.get("NEKSTAB_PALLAS", "0") == "1"
 
+# Operator-path contractions run at full f32 on the MXU: XLA's DEFAULT
+# precision lowers f32 matmuls to one-pass bf16, whose ~1e-2 relative error
+# in the repeated D/D^T applications destabilized the whole linearized
+# propagator on TPU (the BENCH_r02 exp(tau L) blow-up to |mu| ~ 5.6e8).
+# Preconditioner einsums (ops/precond.py application paths) deliberately
+# stay at DEFAULT — they only shape CG search directions.
+PREC = lax.Precision.HIGHEST
+
 
 def deriv_r(D: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """du/dr: contract the i-index: (D u)[e,i,j] = sum_k D[i,k] u[e,k,j]."""
-    return jnp.einsum("ik,...kj->...ij", D, u)
+    return jnp.einsum("ik,...kj->...ij", D, u, precision=PREC)
 
 
 def deriv_s(D: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """du/ds: contract the j-index."""
-    return jnp.einsum("jk,...ik->...ij", D, u)
+    return jnp.einsum("jk,...ik->...ij", D, u, precision=PREC)
 
 
 def deriv_r_t(D: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Transpose of deriv_r: (D^T w)[e,k,j] = sum_i D[i,k] w[e,i,j]."""
-    return jnp.einsum("ik,...ij->...kj", D, w)
+    return jnp.einsum("ik,...ij->...kj", D, w, precision=PREC)
 
 
 def deriv_s_t(D: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    return jnp.einsum("jk,...ij->...ik", D, w)
+    return jnp.einsum("jk,...ij->...ik", D, w, precision=PREC)
 
 
 def grad(ctx: SemContext, u: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -80,14 +89,14 @@ def weak_div(ctx: SemContext, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
 def interp_fine(jd: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """Interpolate (..., E, n, n) GLL field to the (..., E, m, m) Gauss grid."""
-    t = jnp.einsum("ai,...ij->...aj", jd, u)
-    return jnp.einsum("bj,...aj->...ab", jd, t)
+    t = jnp.einsum("ai,...ij->...aj", jd, u, precision=PREC)
+    return jnp.einsum("bj,...aj->...ab", jd, t, precision=PREC)
 
 
 def interp_fine_t(jd: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Transpose: Gauss-grid functional -> GLL functional."""
-    t = jnp.einsum("ai,...aj->...ij", jd, w)
-    return jnp.einsum("bj,...ib->...ij", jd, t)
+    t = jnp.einsum("ai,...aj->...ij", jd, w, precision=PREC)
+    return jnp.einsum("bj,...ib->...ij", jd, t, precision=PREC)
 
 
 def convect_dealiased(ctx: SemContext, c: jnp.ndarray,
