@@ -26,7 +26,7 @@ import numpy as np
 from ..config import ArnoldiConfig
 from .arnoldi import (ArnoldiSpace, leaf_dtype, tree_alloc, tree_combine,
                       _basis_prefix)
-from .eigensolve import KrylovSchurResult, eig_hessenberg
+from .eigensolve import KrylovSchurResult, eig_hessenberg, sorted_schur
 
 
 def _tree_stack_block(Q, i0, b):
@@ -179,12 +179,8 @@ def block_krylov_schur(space: ArnoldiSpace, matvec_block: Callable, V0,
             cut = 0.5 * (srt[mtry - 1] + srt[min(mtry, k - 1)])
             if np.isclose(srt[mtry - 1], srt[min(mtry, k - 1)], rtol=1e-9):
                 continue   # would split a conjugate pair / cluster
-            try:
-                T, Z, sdim = scipy.linalg.schur(
-                    Hk, sort=lambda re, im: np.hypot(re, im) >= cut)
-                break
-            except np.linalg.LinAlgError:
-                continue
+            T, Z, sdim = sorted_schur(Hk, cut)
+            break
         m = int(np.ceil(int(sdim) / b) * b) if T is not None else 0
         if T is None or m < b or m > k - b:
             m = m_keep

@@ -18,3 +18,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# The env var alone is NOT enough in the TPU session environment: the axon
+# relay's sitecustomize register() overrides platform selection, so
+# JAX_PLATFORMS=cpu is silently ignored (measured: jax.default_backend()
+# == 'tpu' even with the env var exported before interpreter start). The
+# explicit config update is authoritative as long as it runs before any
+# backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "unit tests must run on the host CPU backend, got "
+    f"{jax.default_backend()}")

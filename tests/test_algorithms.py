@@ -172,3 +172,25 @@ def test_newton_upo_machinery():
     assert res.u.shape == u0.shape
     assert np.isfinite(res.residuals).all()
     assert res.period > 0
+
+
+def test_sorted_schur_robust():
+    """DTRSEN-backed sorted Schur (VERDICT r3 Weak #3: scipy's sort=...
+    re-validation raised LinAlgError in cavity_stability): valid factorization
+    with the |lambda| >= cut cluster leading, for random Hessenberg inputs."""
+    from nekstab_tpu.algorithms.eigensolve import (_schur_block_eigs,
+                                                   sorted_schur)
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        k = int(rng.integers(4, 32))
+        H = np.triu(rng.standard_normal((k, k)), -1)
+        mods = np.sort(np.abs(np.linalg.eigvals(H)))[::-1]
+        m_want = int(rng.integers(1, k))
+        cut = 0.5 * (mods[m_want - 1] + mods[min(m_want, k - 1)])
+        T, Z, m = sorted_schur(H, cut)
+        assert np.allclose(Z @ T @ Z.T, H,
+                           atol=1e-10 * max(1.0, np.abs(H).max()))
+        assert np.allclose(Z.T @ Z, np.eye(k), atol=1e-12)
+        ev = _schur_block_eigs(T)
+        if 0 < m < k:
+            assert np.abs(ev[:m]).min() >= np.abs(ev[m:]).max() - 1e-8

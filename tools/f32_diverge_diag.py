@@ -12,12 +12,19 @@ import os
 import sys
 import time
 
-if "--tpu" not in sys.argv:
-    os.environ["JAX_PLATFORMS"] = "cpu"
+# VERDICT r3 Weak #6: the "CPU" bisect silently ran on TPU. The env var is
+# not enough in this session environment — the axon relay's sitecustomize
+# register() overrides platform selection even when JAX_PLATFORMS=cpu is
+# exported before interpreter start. jax.config.update('jax_platforms')
+# below is the authoritative switch (must run before backend init).
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
+
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
