@@ -105,16 +105,30 @@ def run_dt(dt, scheme, sweeps, newton_tol, seed_dt):
         print(f"base: cached ({path}, |F|={meta.get('newton_residual')})",
               flush=True)
     else:
+        nwt_ckpt = path + ".nwt.npz"
         seed_path = bf_cache(seed_dt)
-        if os.path.exists(seed_path):
+        if os.path.exists(nwt_ckpt):
+            u, _, meta = load_field(nwt_ckpt, dtype=ctx.dtype)
+            seed = jnp.asarray(u)
+            print(f"newton resume: {nwt_ckpt} (iter {meta.get('it')}, "
+                  f"|F|={meta.get('rnorm')})", flush=True)
+        elif os.path.exists(seed_path):
             u, _, _ = load_field(seed_path, dtype=ctx.dtype)
             seed = jnp.asarray(u)
             print(f"newton seed: {seed_path}", flush=True)
         else:
             seed = ref_base
             print("newton seed: reference BF field", flush=True)
+
+        # per-iteration iterate checkpoint: a killed run resumes from the
+        # last Newton iterate instead of the original seed (VERDICT r3
+        # Weak #7: the pnpn2 queue died mid-GMRES and left nothing)
+        def ckpt(it, qq, rn):
+            save_field(nwt_ckpt, np.asarray(qq), it=it, rnorm=float(rn),
+                       dt=dt)
+
         res = sys_.newton_base_flow(seed, tau=0.5, tol=newton_tol, k_dim=110,
-                                    maxiter=6,
+                                    maxiter=6, callback=ckpt,
                                     logger=lambda s: print(s, flush=True))
         base = res.q
         save_field(path, np.asarray(base),

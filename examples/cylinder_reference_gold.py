@@ -108,15 +108,25 @@ def stage_base(fld, tpu, dt, newton_tau, tol, seed_bf=None, k_dim=130):
     from nekstab_tpu.io.checkpoint import save_field
     t0 = time.time()
     sys_, ref_base = build(fld, tpu, dt)
-    if seed_bf is not None and os.path.exists(seed_bf):
-        from nekstab_tpu.io.checkpoint import load_field
+    from nekstab_tpu.io.checkpoint import load_field
+    nwt_ckpt = bf_cache(dt) + ".nwt.npz"
+    if os.path.exists(nwt_ckpt):
+        u, _, meta = load_field(nwt_ckpt, dtype=sys_.ctx.dtype)
+        ref_base = jnp.asarray(u)
+        print(f"newton resume from {nwt_ckpt} (iter {meta.get('it')}, "
+              f"|F|={meta.get('rnorm')})", flush=True)
+    elif seed_bf is not None and os.path.exists(seed_bf):
         u, _, _ = load_field(seed_bf, dtype=sys_.ctx.dtype)
         ref_base = jnp.asarray(u)
         print(f"newton seed from {seed_bf}", flush=True)
     print(f"mesh: {sys_.mesh.nelem} elems, {sys_.mesh.nglobal} dofs, "
           f"backend={jax.default_backend()}, dt={dt}", flush=True)
+
+    def ckpt(it, qq, rn):
+        save_field(nwt_ckpt, np.asarray(qq), it=it, rnorm=float(rn), dt=dt)
+
     res = sys_.newton_base_flow(ref_base, tau=newton_tau, tol=tol,
-                                k_dim=k_dim, maxiter=10,
+                                k_dim=k_dim, maxiter=10, callback=ckpt,
                                 logger=lambda s: print(s, flush=True))
     print(f"newton: converged={res.converged} iters={res.niter} "
           f"|F|={res.residuals[-1]:.3e} wall {time.time()-t0:.0f}s")

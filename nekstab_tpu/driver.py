@@ -66,6 +66,9 @@ class FlowSystem:
             self.case = dataclasses.replace(
                 case, sponge=sponge_strength * self.sponge_fun)
         self._cache = {}
+        # optional (state_shardings, vel_sharding) asserted inside scan
+        # bodies; set by parallel.ShardedFlowSystem
+        self._shard = None
 
     # ------------------------------------------------------------------
     # inner product (mass-weighted, sponge-masked — the reference's
@@ -141,19 +144,22 @@ class FlowSystem:
     def nonlinear_advance(self, nsteps: int, collect: bool = False):
         """Jitted nonlinear advance: (case, state) -> (state', aux)."""
         mk_adv = self._builders[0]
+        kw = {} if self._shard is None else {"shard": self._shard}
         return self._get(("adv", nsteps, collect), lambda: jax.jit(
             mk_adv(self.ctx, self.cfg, self.mesh.has_outflow, nsteps,
-                   collect=collect)))
+                   collect=collect, **kw)))
 
     def linear_propagator(self, nsteps: int):
         mk_lin = self._builders[1]
+        kw = {} if self._shard is None else {"shard": self._shard}
         return self._get(("lin", nsteps), lambda: jax.jit(
-            mk_lin(self.ctx, self.cfg, self.mesh.has_outflow, nsteps)))
+            mk_lin(self.ctx, self.cfg, self.mesh.has_outflow, nsteps, **kw)))
 
     def adjoint_propagator(self, nsteps: int):
         mk_adj = self._builders[2]
+        kw = {} if self._shard is None else {"shard": self._shard}
         return self._get(("adj", nsteps), lambda: jax.jit(
-            mk_adj(self.ctx, self.cfg, self.mesh.has_outflow, nsteps)))
+            mk_adj(self.ctx, self.cfg, self.mesh.has_outflow, nsteps, **kw)))
 
     # ------------------------------------------------------------------
     # Arnoldi operator spaces (uparam 3.x dispatch, core/matvec.f:124-151)
@@ -178,8 +184,9 @@ class FlowSystem:
         and collective — the block-Arnoldi matvec (the reference cannot do
         this: npert forced to 1, core/matvec.f:10-14)."""
         def build():
+            kw = {} if self._shard is None else {"shard": self._shard}
             prop = self._builders[1](self.ctx, self.cfg,
-                                     self.mesh.has_outflow, nsteps)
+                                     self.mesh.has_outflow, nsteps, **kw)
             return jax.jit(jax.vmap(lambda bu, sp, v: prop(bu, sp, v)[0],
                                     in_axes=(None, None, 0)))
         return self._get(("linb", nsteps), build)
@@ -217,7 +224,7 @@ class FlowSystem:
     def newton_base_flow(self, u0, tau: float | None = None,
                          nsteps: int | None = None, tol: float = 1e-9,
                          k_dim: int = 64, maxiter: int = 30,
-                         exact_jacobian: bool = True,
+                         exact_jacobian: bool = True, callback=None,
                          logger=print) -> NewtonResult:
         """Solve Phi_tau(q) - q = 0 for a steady state.
 
@@ -257,7 +264,8 @@ class FlowSystem:
                 return lambda v: prop(q, sp, v)[0] - v
 
         return newton_krylov(resid_jit, jac_mv, self.dot_full, u0, tol=tol,
-                             maxiter=maxiter, k_dim=k_dim, logger=logger)
+                             maxiter=maxiter, k_dim=k_dim, callback=callback,
+                             logger=logger)
 
     # ------------------------------------------------------------------
     def steady_state_from(self, u_fn) -> jnp.ndarray:

@@ -33,7 +33,7 @@ from ..quadrature import make_basis
                       "p_vfem", "bwn", "gs2_rv",
                       "jd", "wd", "dmet", "axdiag", "rinv", "bm_adj", "p2"],
          meta_fields=["n", "nelem", "nglobal", "axis_name", "gs2_plan",
-                      "hsolve"])
+                      "hsolve", "shard_hint"])
 @dataclasses.dataclass(frozen=True)
 class SemContext:
     # static metadata
@@ -108,6 +108,11 @@ class SemContext:
     # host-side sparse-direct factorized solves (hostsolve/direct.py), or
     # None -> iterative CG solves. Static: hashable by identity.
     hsolve: object | None = None
+    # GSPMD anchor (jax.sharding.Mesh, element-axis name) set by
+    # parallel.ShardedFlowSystem: dssum re-asserts the element sharding on
+    # its operands so SPMD propagation cannot drift inside CG while-loops
+    # (MULTICHIP_r02/r03 "involuntary full rematerialization" tails).
+    shard_hint: tuple | None = None
 
     @property
     def dtype(self):

@@ -47,13 +47,27 @@ def scatter(ctx: SemContext, g: jnp.ndarray) -> jnp.ndarray:
     return loc.reshape(g.shape[:-1] + ctx.bm.shape[-3:])
 
 
+def _shard_anchor(ctx: SemContext, x: jnp.ndarray) -> jnp.ndarray:
+    """Re-assert the element-block sharding on a local field (..., E, n, n)
+    under GSPMD (no-op otherwise): the slice-exchange dssum's seam slices
+    otherwise make SPMD propagation flip-flop inside CG while-loops and fall
+    back to full rematerialization (MULTICHIP_r02/r03 warning tails)."""
+    if ctx.shard_hint is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+    dmesh, ax = ctx.shard_hint
+    spec = PartitionSpec(*((None,) * (x.ndim - 3)), ax, None, None)
+    return lax.with_sharding_constraint(x, NamedSharding(dmesh, spec))
+
+
 def dssum(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
     """Direct-stiffness sum: duplicated dofs receive the sum over all copies.
     Uses the structured slice-exchange path (ops/gslib2.py) when the mesh has
     block metadata — no XLA gathers — else the index-table fallback."""
     if ctx.gs2_plan is not None:
         from .gslib2 import dssum2
-        return dssum2(u, ctx.gs2_plan, ctx.gs2_rv)
+        return _shard_anchor(ctx, dssum2(_shard_anchor(ctx, u),
+                                         ctx.gs2_plan, ctx.gs2_rv))
     return scatter(ctx, _assemble_global(ctx, u))
 
 

@@ -26,32 +26,71 @@ from .context import SemContext
 # read once at import — flip NEKSTAB_PALLAS=1 in the environment
 _USE_PALLAS = os.environ.get("NEKSTAB_PALLAS", "0") == "1"
 
-# Operator-path contractions run at full f32 on the MXU: XLA's DEFAULT
-# precision lowers f32 matmuls to one-pass bf16, whose ~1e-2 relative error
-# in the repeated D/D^T applications destabilized the whole linearized
-# propagator on TPU (the BENCH_r02 exp(tau L) blow-up to |mu| ~ 5.6e8).
-# Preconditioner einsums (ops/precond.py application paths) deliberately
-# stay at DEFAULT — they only shape CG search directions.
-PREC = lax.Precision.HIGHEST
+# Operator-path contractions must be true f32: XLA's DEFAULT precision
+# lowers f32 matmuls to one-pass bf16, whose ~1e-2 relative error in the
+# repeated D/D^T applications destabilized the whole linearized propagator
+# on TPU (the BENCH_r02 exp(tau L) blow-up to |mu| ~ 5.6e8). Two true-f32
+# strategies, selectable with NEKSTAB_OP_PREC (read once at import):
+#
+#   "fma" (default) — express the n-point contractions as broadcast
+#       multiply + reduce, which XLA fuses into ONE f32 VPU loop-fusion
+#       kernel. At SEM sizes (n = 6..8 contraction depth) the chip is
+#       latency-bound (docs/ROOFLINE.md): a k=6 contraction occupies 6/128
+#       of the MXU's systolic depth, so the MXU buys nothing and the
+#       HIGHEST 6-pass decomposition just multiplies the op count — the
+#       r3 throughput collapse (11.9 -> 3.93 steps/s, BENCH_r03).
+#   "highest" — 6-pass bf16 MXU decomposition (bitwise f32-equivalent).
+#   "high"    — 3-pass bf16 (bf16_3x); NOT exact f32.
+#   "default" — one-pass bf16; unstable for the propagator, kept only for
+#       A/B diagnostics.
+_MODE = os.environ.get("NEKSTAB_OP_PREC", "fma")
+PREC = {"default": lax.Precision.DEFAULT,
+        "high": lax.Precision.HIGH,
+        "highest": lax.Precision.HIGHEST,
+        "fma": lax.Precision.HIGHEST}[_MODE]
+_FMA = _MODE == "fma"
 
 
 def deriv_r(D: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """du/dr: contract the i-index: (D u)[e,i,j] = sum_k D[i,k] u[e,k,j]."""
+    if _FMA:
+        return jnp.sum(D[:, :, None] * u[..., None, :, :], axis=-2)
     return jnp.einsum("ik,...kj->...ij", D, u, precision=PREC)
 
 
 def deriv_s(D: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """du/ds: contract the j-index."""
+    if _FMA:
+        return jnp.sum(u[..., :, None, :] * D[:, :], axis=-1)
     return jnp.einsum("jk,...ik->...ij", D, u, precision=PREC)
 
 
 def deriv_r_t(D: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Transpose of deriv_r: (D^T w)[e,k,j] = sum_i D[i,k] w[e,i,j]."""
+    if _FMA:
+        return jnp.sum(D[:, :, None] * w[..., :, None, :], axis=-3)
     return jnp.einsum("ik,...ij->...kj", D, w, precision=PREC)
 
 
 def deriv_s_t(D: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    if _FMA:
+        return jnp.sum(w[..., :, :, None] * D[:, :], axis=-2)
     return jnp.einsum("jk,...ij->...ik", D, w, precision=PREC)
+
+
+def bmatvec(A: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Batched matvec (..., a, b) @ (..., b) -> (..., a) at true f32.
+
+    Used by the preconditioner applications (element Schwarz blocks, the
+    dense vertex-coarse inverse). Unbatched these lower to f32 matvecs, but
+    under the vmap-batched block propagator they become real GEMMs and
+    XLA's DEFAULT drops them to one-pass bf16 — which breaks the
+    preconditioner's symmetry at ~1e-2 on exactly the modes CG amplifies
+    (the BENCH_r03 block-path blow-up; bisected with tools/block_vs_seq.py).
+    """
+    if _FMA:
+        return jnp.sum(A * x[..., None, :], axis=-1)
+    return jnp.einsum("...ab,...b->...a", A, x, precision=PREC)
 
 
 def grad(ctx: SemContext, u: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

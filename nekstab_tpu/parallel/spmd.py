@@ -108,6 +108,17 @@ class ShardedFlowSystem(FlowSystem):
         super().__init__(mesh, cfg, case, axis_name=None, **kw)
         self._cspecs = context_specs(self.ctx, axis)
         self.ctx = _put(self.ctx, self._cspecs, self.dmesh)
+        import dataclasses as _dc
+        self.ctx = _dc.replace(self.ctx, shard_hint=(self.dmesh, axis))
+        # assert the element sharding on scan carries / Floquet orbit slices
+        # every step: without it GSPMD's propagation drifts inside the CG
+        # while-loops and falls back to full rematerialization on small
+        # tensors (the MULTICHIP_r02/r03 warning tails)
+        to_ns = lambda tree: jax.tree.map(
+            lambda s: NamedSharding(self.dmesh, s), tree,
+            is_leaf=lambda x: isinstance(x, P))
+        self._shard = (to_ns(state_specs(axis)),
+                       NamedSharding(self.dmesh, vel_spec(axis)))
         self.sponge_fun = jax.device_put(
             self.sponge_fun, NamedSharding(self.dmesh, P(axis)))
         self.case = self._case  # re-run the sharding setter

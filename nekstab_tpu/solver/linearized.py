@@ -144,14 +144,19 @@ def _coeff_seqs(ctx, cfg, nsteps):
 
 
 def make_linear_propagator(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
-                           nsteps: int):
+                           nsteps: int, shard=None):
     """Returns prop(base_u, sponge, u0, p0) -> (u_tau, p_tau): the action of
     exp(tau L) on a velocity perturbation, tau = nsteps*dt, about a frozen
     base flow (reference 'forward_linearized_map' with a cold BDF start).
 
     base_u may be (2,E,n,n) (steady), (nsteps,2,E,n,n) (Floquet orbit replay,
     reference core/matvec.f:200-236), or a FourierOrbit (compressed periodic
-    orbit, reconstructed per step inside the scan — solver/orbit.py)."""
+    orbit, reconstructed per step inside the scan — solver/orbit.py).
+
+    shard: optional (state_shardings, vel_sharding) from ShardedFlowSystem —
+    re-asserted on the scan carry (and the Floquet orbit slice) every step so
+    GSPMD's sharding propagation cannot drift inside the loop (the
+    MULTICHIP_r02/r03 'involuntary full rematerialization' warnings)."""
     from .orbit import FourierOrbit, orbit_at
     lstep = make_linear_step(ctx, cfg, has_outflow)
     ab_seq, eb_seq = _coeff_seqs(ctx, cfg, nsteps)
@@ -167,8 +172,12 @@ def make_linear_propagator(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
                         nlag=z, cclag=zcc)
 
         def body(st, xs):
+            if shard is not None:
+                st = lax.with_sharding_constraint(st, shard[0])
             if floquet:
                 ab, eb, bu = xs
+                if shard is not None:
+                    bu = lax.with_sharding_constraint(bu, shard[1])
             elif fourier:
                 ab, eb, j = xs
                 bu = orbit_at(base_u, j, nsteps)
@@ -190,13 +199,13 @@ def make_linear_propagator(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
 
 
 def make_adjoint_propagator(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
-                            nsteps: int):
+                            nsteps: int, shard=None):
     """Returns adj(base_u, sponge, v) -> (u_adj, p_aux): action of the
     B-weighted adjoint exp(tau L)^dagger = B^-1 T^T B via linear_transpose,
     projected back onto the continuous subspace with the B-orthogonal
     averaging dssum(.)/dssum(B) (reference 'adjoint_linearized_map',
     core/matvec.f:249-326 — there a separately discretized adjoint PDE)."""
-    prop = make_linear_propagator(ctx, cfg, has_outflow, nsteps)
+    prop = make_linear_propagator(ctx, cfg, has_outflow, nsteps, shard=shard)
 
     # axisymmetric meshes: conjugate by the strictly positive adjoint weight
     # B~ (bm with its axis zeros floored, ops/context.py) — exactly similar

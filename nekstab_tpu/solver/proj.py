@@ -35,7 +35,7 @@ from jax import lax
 from ..config import NSConfig
 from ..ops.context import SemContext
 from ..ops.gather_scatter import assemble, scatter
-from ..ops.tensorprod import (deriv_r, deriv_r_t, deriv_s, deriv_s_t,
+from ..ops.tensorprod import (PREC, deriv_r, deriv_r_t, deriv_s, deriv_s_t,
                               weak_laplacian)
 from .stepper import CaseFields, _gdot, convect, solve_spd_local, \
     timestep_coeffs
@@ -64,13 +64,15 @@ def initial_state2(ctx: SemContext, u0: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _interp2(j2, u):
-    t = jnp.einsum("ai,...ij->...aj", j2, u)
-    return jnp.einsum("bj,...aj->...ab", j2, t)
+    # PREC: true f32 on TPU (bf16 lowering destabilizes the operator path,
+    # ops/tensorprod.py); no-op at f64 on the host
+    t = jnp.einsum("ai,...ij->...aj", j2, u, precision=PREC)
+    return jnp.einsum("bj,...aj->...ab", j2, t, precision=PREC)
 
 
 def _interp2_t(j2, w):
-    t = jnp.einsum("ai,...aj->...ij", j2, w)
-    return jnp.einsum("bj,...ib->...ij", j2, t)
+    t = jnp.einsum("ai,...aj->...ij", j2, w, precision=PREC)
+    return jnp.einsum("bj,...ib->...ij", j2, t, precision=PREC)
 
 
 def div2(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:

@@ -34,7 +34,16 @@ from jax import lax
 from ..config import NSConfig
 from ..ops.context import SemContext
 from ..ops.gather_scatter import assemble, scatter, glsc3
-from ..ops.tensorprod import grad, weak_div, weak_laplacian
+# PREC/bmatvec: ALL preconditioner contractions (element Schwarz blocks,
+# vertex-Q1 restrict/prolong, dense coarse solve, spectral deflation) run at
+# true f32 like the operator path. At DEFAULT they lower to one-pass bf16 on
+# the MXU under the vmap-batched block propagator (batched matvec -> real
+# GEMM), which breaks the preconditioner's symmetry/consistency at ~1e-2 —
+# PCG with a nonsymmetric preconditioner genuinely diverges, the BENCH_r03
+# block-path blow-up (lead |mu| ~ 7.2e8 while the sequential path was
+# stable). Bisected with tools/block_vs_seq.py: all-HIGHEST restores
+# block==sequential; coarse-only pinning does not.
+from ..ops.tensorprod import PREC, bmatvec, grad, weak_div, weak_laplacian
 
 # BDF rows [gamma0, a1, a2, a3] and EXT rows [b1, b2, b3], order 1..3
 BDF_TABLE = np.array([
@@ -169,21 +178,24 @@ def _pressure_solver(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
         # level: spectral deflation Z C^-1 Z^T r (p_defl_z is (m, G) here)
         if ctx.p_schwarz is not None:
             rl = scatter(ctx, r).reshape(-1, nn) * mloc
-            ze = jnp.einsum("eab,eb->ea", ctx.p_schwarz, rl)
+            ze = bmatvec(ctx.p_schwarz, rl)
             z = assemble(ctx, (ze * mloc).reshape(ctx.bm.shape))
         else:
             z = r / ctx.diag_ag
         if ctx.p_defl_z is not None:
-            c = ctx.p_defl_z @ r
-            z = z + ctx.p_defl_z.T @ (ctx.p_defl_c @ c)
+            c = jnp.einsum("mg,g->m", ctx.p_defl_z, r, precision=PREC)
+            z = z + jnp.einsum("mg,m->g", ctx.p_defl_z,
+                               ctx.p_defl_c @ c, precision=PREC)
         if ctx.p_vfem is not None:
             # vertex-Q1 coarse grid (ops/precond.build_vertex_coarse)
             from ..ops.gslib import qcopy, qsum
             Jb, vidx, vgid, Aci = ctx.p_vfem
             t = (scatter(ctx, r) * ctx.multinv).reshape(-1, nn)
-            rv = qsum(jnp.einsum("qa,eq->ea", Jb, t).reshape(-1), vidx, vgid)
-            zc = qcopy(Aci @ rv, vidx, vgid).reshape(-1, 4)
-            zl = (jnp.einsum("qa,ea->eq", Jb, zc).reshape(ctx.bm.shape)
+            rv = qsum(jnp.einsum("qa,eq->ea", Jb, t,
+                                 precision=PREC).reshape(-1), vidx, vgid)
+            zc = qcopy(bmatvec(Aci, rv), vidx, vgid).reshape(-1, 4)
+            zl = (jnp.einsum("qa,ea->eq", Jb, zc,
+                             precision=PREC).reshape(ctx.bm.shape)
                   * ctx.multinv)
             z = z + assemble(ctx, zl)
         return ctx.maskg_p * z
@@ -240,15 +252,16 @@ def make_pressure_precond_gs2(ctx: SemContext):
         # (replaces an all_gather-based dense (E, E) coarse inverse)
         if ctx.p_schwarz is not None:
             rl = (ctx.multinv * (mask * r)).reshape(-1, nn)
-            ze = jnp.einsum("eab,eb->ea", ctx.p_schwarz, rl)
+            ze = bmatvec(ctx.p_schwarz, rl)
             z = (ze.reshape(ctx.bm.shape)) * ctx.multinv
         else:
             z = (mask * r) / ctx.diag_a
         if ctx.p_defl_z is not None:
-            c = jnp.einsum("meij,eij->m", ctx.p_defl_z, r)
+            c = jnp.einsum("meij,eij->m", ctx.p_defl_z, r, precision=PREC)
             if ctx.axis_name is not None:
                 c = jax.lax.psum(c, ctx.axis_name)
-            z = z + jnp.einsum("m,meij->eij", ctx.p_defl_c @ c, ctx.p_defl_z)
+            z = z + jnp.einsum("m,meij->eij", ctx.p_defl_c @ c, ctx.p_defl_z,
+                               precision=PREC)
         if ctx.p_vfem is not None:
             # vertex-Q1 coarse grid (ops/precond.build_vertex_coarse):
             # restrict to element corners (one small GEMM), assemble the
@@ -257,9 +270,11 @@ def make_pressure_precond_gs2(ctx: SemContext):
             from ..ops.gslib import qcopy, qsum
             Jb, vidx, vgid, Aci = ctx.p_vfem
             t = (ctx.multinv * (mask * r)).reshape(-1, nn)
-            rv = qsum(jnp.einsum("qa,eq->ea", Jb, t).reshape(-1), vidx, vgid)
-            zc = qcopy(Aci @ rv, vidx, vgid).reshape(-1, 4)
-            z = z + (jnp.einsum("qa,ea->eq", Jb, zc).reshape(ctx.bm.shape)
+            rv = qsum(jnp.einsum("qa,eq->ea", Jb, t,
+                                 precision=PREC).reshape(-1), vidx, vgid)
+            zc = qcopy(bmatvec(Aci, rv), vidx, vgid).reshape(-1, 4)
+            z = z + (jnp.einsum("qa,ea->eq", Jb, zc,
+                                precision=PREC).reshape(ctx.bm.shape)
                      * ctx.multinv)
         return mask * z
 
@@ -432,11 +447,12 @@ def make_step(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
 
 
 def make_advance(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
-                 nsteps: int, collect: bool = False):
+                 nsteps: int, collect: bool = False, shard=None):
     """Returns advance(case, state) -> (state', aux): nsteps of the nonlinear
     stepper under lax.scan. aux = per-step kinetic energy; with collect=True
     additionally the full velocity trajectory (orbit storage for Floquet/UPO,
-    reference core/matvec.f:200-236)."""
+    reference core/matvec.f:200-236). shard: optional (state_shardings, _)
+    re-asserted on the carry each step (see make_linear_propagator)."""
     step = make_step(ctx, cfg, has_outflow)
     ab_seq, eb_seq = timestep_coeffs(nsteps, cfg.torder, np.float64)
     ab_seq = jnp.asarray(ab_seq, ctx.dtype)
@@ -444,6 +460,8 @@ def make_advance(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
 
     def advance(case: CaseFields, state: NSState, bcw_seq=None):
         def body(st, xs):
+            if shard is not None:
+                st = lax.with_sharding_constraint(st, shard[0])
             ab, eb = xs[0], xs[1]
             bcw = xs[2] if len(xs) > 2 else None
             new_state, _ = step(case, st, ab, eb, bcw=bcw)

@@ -33,6 +33,10 @@ if "--cpu" in sys.argv:
     # JAX_PLATFORMS env is overridden by the axon relay's sitecustomize
     # register(); only the explicit config update forces CPU here
     jax.config.update("jax_platforms", "cpu")
+if "--mm-high" in sys.argv:
+    jax.config.update("jax_default_matmul_precision", "high")
+if "--mm-highest" in sys.argv:
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 import jax.numpy as jnp
 import numpy as np
@@ -64,6 +68,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--precond", default="schwarz_vfem")
+    ap.add_argument("--mm-high", action="store_true")
+    ap.add_argument("--mm-highest", action="store_true")
     args = ap.parse_args()
 
     from nekstab_tpu.utils import add_noise
