@@ -45,7 +45,7 @@ def build(dt, tpu=True, re=60.0):
     if tpu:
         sys_, base = cylinder_reference_system(
             FLD, dtype=jnp.float32, vtol=1e-5, ptol=1e-5,
-            pressure_precond="schwarz_vfem", **kw)
+            pressure_precond="oschwarz_vfem", **kw)
     else:
         sys_, base = cylinder_reference_system(FLD, host_direct=True, **kw)
     return sys_, base

@@ -58,7 +58,7 @@ def build(fld, tpu: bool, dt: float):
         import dataclasses
         sys_, base = cylinder_reference_system(
             fld, dt=dt, dtype=jnp.float32, vtol=1e-6, ptol=1e-6,
-            pressure_precond="schwarz_vfem", scheme=SCHEME)
+            pressure_precond="oschwarz_vfem", scheme=SCHEME)
         sys_.cfg = dataclasses.replace(sys_.cfg, vmaxit=100, pmaxit=400)
     else:
         sys_, base = cylinder_reference_system(fld, dt=dt, host_direct=True,

@@ -143,19 +143,135 @@ class FlowSystem:
 
     def nonlinear_advance(self, nsteps: int, collect: bool = False):
         """Jitted nonlinear advance: (case, state) -> (state', aux)."""
+        if not collect and self._can_chunk(nsteps):
+            from .solver.stepper import make_advance_chunk
+            kw = {} if self._shard is None else {"shard": self._shard}
+            chunk_fn = self._get(("advchunk",), lambda: jax.jit(
+                make_advance_chunk(self.ctx, self.cfg,
+                                   self.mesh.has_outflow, **kw)))
+            pieces = self._chunk_pieces(nsteps)
+
+            def advance(case, state, bcw_seq=None):
+                assert bcw_seq is None, "bcw_seq: use chunk_steps=None"
+                es = []
+                for ab, eb in pieces:
+                    state, e = chunk_fn(case, state, ab, eb)
+                    es.append(e)
+                return state, jnp.concatenate(es)
+
+            return self._get(("advchunked", nsteps), lambda: advance)
         mk_adv = self._builders[0]
         kw = {} if self._shard is None else {"shard": self._shard}
         return self._get(("adv", nsteps, collect), lambda: jax.jit(
             mk_adv(self.ctx, self.cfg, self.mesh.has_outflow, nsteps,
                    collect=collect, **kw)))
 
+    # chunk size for the chunked propagator composition (pnpn scheme,
+    # steady base flow): one compiled chunk executable serves every chunk
+    # position and every nsteps — compile time stops scaling with the
+    # sampling period (the 549 s BENCH_r03 monolithic compile). None/0
+    # disables chunking (monolithic scan, e.g. for linear_transpose users).
+    chunk_steps: int | None = 25
+
+    def _chunk_pieces(self, nsteps: int):
+        """Per-chunk (ab, eb) coefficient arrays for the full ramp-correct
+        nsteps sequence, split into pieces of <= chunk_steps."""
+        c = self.chunk_steps
+        ab, eb = timestep_coeffs(nsteps, self.cfg.torder, np.float64)
+        ab = jnp.asarray(ab, self.ctx.dtype)
+        eb = jnp.asarray(eb, self.ctx.dtype)
+        return [(ab[i:i + c], eb[i:i + c]) for i in range(0, nsteps, c)]
+
+    def _linear_chunk_fn(self):
+        """The jitted shared chunk executable (solver/linearized.
+        make_linear_chunk), cached once per FlowSystem."""
+        from .solver.linearized import make_linear_chunk
+        kw = {} if self._shard is None else {"shard": self._shard}
+        return self._get(("linchunk",), lambda: jax.jit(make_linear_chunk(
+            self.ctx, self.cfg, self.mesh.has_outflow, **kw)))
+
+    def _can_chunk(self, nsteps: int) -> bool:
+        return (bool(self.chunk_steps) and self.scheme == "pnpn"
+                and nsteps > self.chunk_steps)
+
     def linear_propagator(self, nsteps: int):
+        if self._can_chunk(nsteps):
+            from .solver.linearized import zero_pstate
+            chunk_fn = self._linear_chunk_fn()
+            pieces = self._chunk_pieces(nsteps)
+            ctx = self.ctx
+
+            def prop(base_u, sponge, u0, p0=None):
+                if (hasattr(base_u, "ndim") and base_u.ndim == 5) \
+                        or not hasattr(base_u, "ndim"):
+                    # Floquet orbit / FourierOrbit base: monolithic path
+                    return self._get(("lin", nsteps), build_mono)(
+                        base_u, sponge, u0, p0)
+                st = zero_pstate(ctx, u0)
+                if p0 is not None:
+                    st = st._replace(p=p0)
+                for ab, eb in pieces:
+                    st = chunk_fn(base_u, sponge, st, ab, eb)
+                return st.u, st.p
+
+            def build_mono():
+                kw = {} if self._shard is None else {"shard": self._shard}
+                return jax.jit(self._builders[1](
+                    self.ctx, self.cfg, self.mesh.has_outflow, nsteps, **kw))
+
+            return self._get(("linchunked", nsteps), lambda: prop)
         mk_lin = self._builders[1]
         kw = {} if self._shard is None else {"shard": self._shard}
         return self._get(("lin", nsteps), lambda: jax.jit(
             mk_lin(self.ctx, self.cfg, self.mesh.has_outflow, nsteps, **kw)))
 
+    def _adjoint_chunk_fn(self):
+        """Jitted transpose of the shared linear chunk: the chunked adjoint
+        composes these in reverse (transpose of a composition)."""
+        from .solver.linearized import make_linear_chunk
+        kw = {} if self._shard is None else {"shard": self._shard}
+        chunk = make_linear_chunk(self.ctx, self.cfg, self.mesh.has_outflow,
+                                  **kw)
+
+        def adj_chunk(base_u, sponge, ct, ab, eb):
+            f = lambda s: chunk(base_u, sponge, s, ab, eb)
+            (s,) = jax.linear_transpose(f, ct)(ct)
+            return s
+
+        return self._get(("adjchunk",), lambda: jax.jit(adj_chunk))
+
     def adjoint_propagator(self, nsteps: int):
+        if self._can_chunk(nsteps):
+            from .ops.gather_scatter import dssum
+            from .solver.stepper import NSState
+            adj_chunk = self._adjoint_chunk_fn()
+            pieces = self._chunk_pieces(nsteps)
+            ctx = self.ctx
+            bmw = ctx.bm if ctx.bm_adj is None else ctx.bm_adj
+
+            def adj(base_u, sponge, v):
+                if (hasattr(base_u, "ndim") and base_u.ndim == 5) \
+                        or not hasattr(base_u, "ndim"):
+                    return self._get(("adj", nsteps), build_mono)(
+                        base_u, sponge, v)
+                # transpose of extract(u): cotangent state with u-slot only
+                z2 = jnp.zeros((2,) + v.shape, v.dtype)
+                zcc = jnp.zeros((2, 2) + v.shape[1:], v.dtype)
+                ct = NSState(u=bmw * v, p=jnp.zeros_like(ctx.bm),
+                             ulag=z2, nlag=z2, cclag=zcc)
+                for ab, eb in reversed(pieces):
+                    ct = adj_chunk(base_u, sponge, ct, ab, eb)
+                # transpose of inject(u0) = (u, ulag=[u0, u0])
+                w = ct.u + ct.ulag[0] + ct.ulag[1]
+                u_adj = dssum(ctx, w) / dssum(ctx, bmw)
+                return u_adj, jnp.zeros_like(ctx.bm)
+
+            def build_mono():
+                kw = {} if self._shard is None else {"shard": self._shard}
+                return jax.jit(self._builders[2](
+                    self.ctx, self.cfg, self.mesh.has_outflow, nsteps, **kw))
+
+            return self._get(("adjchunked", nsteps), lambda: adj)
         mk_adj = self._builders[2]
         kw = {} if self._shard is None else {"shard": self._shard}
         return self._get(("adj", nsteps), lambda: jax.jit(
@@ -183,6 +299,34 @@ class FlowSystem:
         -> (b, ...). On TPU the b perturbations share every kernel launch
         and collective — the block-Arnoldi matvec (the reference cannot do
         this: npert forced to 1, core/matvec.f:10-14)."""
+        if self._can_chunk(nsteps):
+            from .solver.linearized import make_linear_chunk
+            kw = {} if self._shard is None else {"shard": self._shard}
+            pieces = self._chunk_pieces(nsteps)
+            ctx = self.ctx
+
+            def build_chunkb():
+                chunk = make_linear_chunk(self.ctx, self.cfg,
+                                          self.mesh.has_outflow, **kw)
+                return jax.jit(jax.vmap(chunk,
+                                        in_axes=(None, None, 0, None, None)))
+
+            chunkb = self._get(("linchunkb",), build_chunkb)
+
+            def propb(base_u, sponge, V):
+                from .solver.stepper import NSState
+                b = V.shape[0]
+                st = NSState(
+                    u=V, p=jnp.zeros((b,) + ctx.bm.shape, V.dtype),
+                    ulag=jnp.stack([V, V], axis=1),
+                    nlag=jnp.zeros((b, 2) + V.shape[1:], V.dtype),
+                    cclag=jnp.zeros((b, 2, 2) + V.shape[2:], V.dtype))
+                for ab, eb in pieces:
+                    st = chunkb(base_u, sponge, st, ab, eb)
+                return st.u
+
+            return self._get(("linbchunked", nsteps), lambda: propb)
+
         def build():
             kw = {} if self._shard is None else {"shard": self._shard}
             prop = self._builders[1](self.ctx, self.cfg,
@@ -244,11 +388,47 @@ class FlowSystem:
         def residual(q):
             return phi(q) - q
 
+        chunked = self._can_chunk(nsteps)
         if exact_jacobian:
-            resid_jit = self._get(("newton_res", nsteps),
-                                  lambda: jax.jit(residual))
+            # chunked advance: adv is already a composition of jitted chunk
+            # executables — re-jitting it would compile the whole nsteps
+            # program monolithically (the exact cost chunking avoids), so
+            # keep the host-side composition and let jvp trace through the
+            # jitted chunks (each chunk's jvp compiles once, cached).
+            resid_jit = residual if chunked else self._get(
+                ("newton_res", nsteps), lambda: jax.jit(residual))
 
             def jac_mv(q):
+                if chunked:
+                    # one jitted jvp-of-chunk executable, shared across all
+                    # chunk positions, Newton iterations and sampling
+                    # periods (cached under a nsteps-independent key)
+                    from .solver.stepper import (NSState, initial_state,
+                                                 make_advance_chunk)
+                    kw = ({} if self._shard is None
+                          else {"shard": self._shard})
+
+                    def build_jvpc():
+                        raw = make_advance_chunk(
+                            self.ctx, self.cfg, self.mesh.has_outflow, **kw)
+                        return jax.jit(lambda cs, st, ts, ab, eb: jax.jvp(
+                            lambda s: raw(cs, s, ab, eb)[0], (st,), (ts,)))
+
+                    jvpc = self._get(("advjvpchunk",), build_jvpc)
+                    pieces = self._chunk_pieces(nsteps)
+                    st0 = initial_state(ctx, q)
+
+                    def mv(v):
+                        z2 = jnp.zeros((2,) + v.shape, v.dtype)
+                        zcc = jnp.zeros((2, 2) + v.shape[1:], v.dtype)
+                        st, ts = st0, NSState(
+                            u=v, p=jnp.zeros_like(ctx.bm),
+                            ulag=jnp.stack([v, v]), nlag=z2, cclag=zcc)
+                        for ab, eb in pieces:
+                            st, ts = jvpc(case, st, ts, ab, eb)
+                        return ts.u - v
+
+                    return mv
                 jvp_fn = self._get(
                     ("newton_jvp", nsteps),
                     lambda: jax.jit(
@@ -257,8 +437,8 @@ class FlowSystem:
         else:
             prop = self.linear_propagator(nsteps)
             sp = self.sponge_fun
-            resid_jit = self._get(("newton_res", nsteps),
-                                  lambda: jax.jit(residual))
+            resid_jit = residual if chunked else self._get(
+                ("newton_res", nsteps), lambda: jax.jit(residual))
 
             def jac_mv(q):
                 return lambda v: prop(q, sp, v)[0] - v

@@ -30,7 +30,7 @@ from ..quadrature import make_basis
                       "multinv", "maskg_vel", "maskg_p", "diag_ag", "bmg",
                       "xcoord", "ycoord", "bm_eig", "gid", "gid_flat",
                       "gs_idx", "p_schwarz", "p_defl_z", "p_defl_c",
-                      "p_vfem", "bwn", "gs2_rv",
+                      "p_vfem", "p_oschwarz", "bwn", "gs2_rv",
                       "jd", "wd", "dmet", "axdiag", "rinv", "bm_adj", "p2"],
          meta_fields=["n", "nelem", "nglobal", "axis_name", "gs2_plan",
                       "hsolve", "shard_hint"])
@@ -80,6 +80,9 @@ class SemContext:
     p_defl_c: jnp.ndarray | None    # (m, m) coarse Galerkin inverse
     # vertex-FEM (Q1) coarse level: (Jb (n^2,4), vidx, vgid, Ac_inv (NV,NV))
     p_vfem: tuple | None
+    # overlapping-Schwarz patch inverses (E, P, P), P = n^2 + 4(n-2)
+    # (ops/precond.build_overlap_schwarz; applied with halo_rows/halo_rows_t)
+    p_oschwarz: jnp.ndarray | None
     bwn: jnp.ndarray          # (2, E, n, n) Dirichlet-face normal weights
     # structured-block gather-scatter (ops/gslib2.py): static plan tuple and
     # the (vidx, vgid) corner-vertex gather tables; None -> unstructured
@@ -243,17 +246,23 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
     # (vertex-Q1 grid — the classic SEM coarse, contains every element-
     # smooth mode) and/or "defl" (spectral deflation — m lowest modes,
     # scalable psum-of-m coarse). True -> "schwarz_vfem".
-    p_schwarz = p_defl_z = p_defl_c = p_vfem = None
-    mode = "schwarz_vfem" if pressure_precond is True else pressure_precond
+    p_schwarz = p_defl_z = p_defl_c = p_vfem = p_oschwarz = None
+    mode = "oschwarz_vfem" if pressure_precond is True else pressure_precond
     if mode and hsolve is None:
-        from .precond import (build_pressure_precond, build_vertex_coarse,
+        from .precond import (build_overlap_schwarz, build_pressure_precond,
+                              build_vertex_coarse,
                               element_laplacian_matrices)
-        if "schwarz" in mode or "defl" in mode:
+        has_overlap = "oschwarz" in mode
+        fine_schwarz = "schwarz" in mode.replace("oschwarz", "")
+        if has_overlap:
+            p_oschwarz = dev(build_overlap_schwarz(
+                mesh, element_laplacian_matrices(g, g["D"]), maskg_p))
+        if fine_schwarz or "defl" in mode:
             ps, zd, cd = build_pressure_precond(
                 mesh, g, g["D"], maskg_p, bool(mesh.has_outflow),
                 n_deflate=n_deflate, local_layout=gs2_plan is not None,
                 deflation="defl" in mode)
-            if "schwarz" in mode:
+            if fine_schwarz:
                 p_schwarz = dev(ps)
             if "defl" in mode:
                 p_defl_z, p_defl_c = dev(zd), dev(cd)
@@ -312,7 +321,7 @@ def make_context(mesh: Mesh2D, dtype=jnp.float64, axis_name: str | None = None,
         maskg_vel=dev(maskg_vel), maskg_p=dev(maskg_p),
         diag_ag=dev(diag_ag), bmg=dev(bmg),
         p_schwarz=p_schwarz, p_defl_z=p_defl_z, p_defl_c=p_defl_c,
-        p_vfem=p_vfem,
+        p_vfem=p_vfem, p_oschwarz=p_oschwarz,
         gs2_plan=gs2_plan, gs2_rv=gs2_rv, jd=jd, wd=wd, dmet=dmet,
         axdiag=None if g["axdiag"] is None else dev(g["axdiag"]),
         rinv=None if g["rinv"] is None else dev(g["rinv"]),

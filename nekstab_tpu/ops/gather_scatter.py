@@ -71,6 +71,50 @@ def dssum(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
     return scatter(ctx, _assemble_global(ctx, u))
 
 
+def halo_rows(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
+    """Width-one halo exchange: (..., E, n, n) -> (..., E, 4, n-2) holding
+    each side neighbour's edge-adjacent interior row (corner nodes excluded;
+    0 at physical boundaries). Side order matches
+    ops/precond.build_halo_gids: 0 = i- , 1 = i+, 2 = j-, 3 = j+.
+
+    Implemented entirely through `dssum` (no new topology code): every
+    element writes its own interior row onto the shared edge, the
+    direct-stiffness sum combines the two copies, and subtracting the own
+    contribution leaves exactly the neighbour's row. Edge-interior dofs have
+    multiplicity <= 2 on a conforming quad mesh, so the subtraction is
+    exact; strip ends (vertex dofs, multiplicity > 2) are excluded."""
+    z = jnp.zeros_like(u)
+    z = z.at[..., 0, 1:-1].set(u[..., 1, 1:-1])
+    z = z.at[..., -1, 1:-1].set(u[..., -2, 1:-1])
+    z = z.at[..., 1:-1, 0].set(u[..., 1:-1, 1])
+    z = z.at[..., 1:-1, -1].set(u[..., 1:-1, -2])
+    h = dssum(ctx, z) - z
+    return jnp.stack([h[..., 0, 1:-1], h[..., -1, 1:-1],
+                      h[..., 1:-1, 0], h[..., 1:-1, -1]], axis=-2)
+
+
+def halo_rows_t(ctx: SemContext, h: jnp.ndarray) -> jnp.ndarray:
+    """Exact transpose of `halo_rows`: (..., E, 4, n-2) -> (..., E, n, n).
+    Scatters halo-strip functionals back into the neighbour rows they were
+    read from (the R_e^T of overlapping Schwarz)."""
+    n = ctx.n
+    shp = h.shape[:-2] + (n, n)
+    w = jnp.zeros(shp, h.dtype)
+    w = w.at[..., 0, 1:-1].set(h[..., 0, :])
+    w = w.at[..., -1, 1:-1].set(h[..., 1, :])
+    w = w.at[..., 1:-1, 0].set(h[..., 2, :])
+    w = w.at[..., 1:-1, -1].set(h[..., 3, :])
+    s = dssum(ctx, w) - w
+    z = jnp.zeros(shp, h.dtype)
+    # all .add: the write targets overlap pairwise at the four (1,1)-type
+    # near-corner nodes, which source two different edge strips
+    z = z.at[..., 1, 1:-1].add(s[..., 0, 1:-1])
+    z = z.at[..., -2, 1:-1].add(s[..., -1, 1:-1])
+    z = z.at[..., 1:-1, 1].add(s[..., 1:-1, 0])
+    z = z.at[..., 1:-1, -2].add(s[..., 1:-1, -1])
+    return z
+
+
 def dsavg(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
     """Average duplicated dofs (multiplicity-weighted), cf. Nek dsavg."""
     return dssum(ctx, u) * ctx.multinv

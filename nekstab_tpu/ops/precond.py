@@ -138,6 +138,84 @@ def build_pressure_precond(mesh, geom: dict, D: np.ndarray,
     return elem_pinv, Z, C_inv
 
 
+def build_halo_gids(mesh) -> np.ndarray:
+    """(E, 4, n-2) int32 global dof ids of each element's four halo strips —
+    the edge-adjacent interior row of the side neighbour (-1 where the side
+    is a physical boundary). Strip node order matches the element's own edge
+    node order, so ops/gather_scatter.halo_rows produces exactly
+    values[halo_gids] (verified by tests/test_precond_overlap.py).
+
+    Side order: 0 = i- (row 0), 1 = i+ (row n-1), 2 = j- (col 0),
+    3 = j+ (col n-1)."""
+    gid = mesh.gid
+    E, n, _ = gid.shape
+    edge = np.stack([gid[:, 0, :], gid[:, -1, :],
+                     gid[:, :, 0], gid[:, :, -1]], axis=1)      # (E, 4, n)
+    inner = np.stack([gid[:, 1, :], gid[:, -2, :],
+                      gid[:, :, 1], gid[:, :, -2]], axis=1)     # (E, 4, n)
+    by_key: dict = {}
+    for e in range(E):
+        for s in range(4):
+            key = (int(min(edge[e, s, 0], edge[e, s, -1])),
+                   int(max(edge[e, s, 0], edge[e, s, -1])))
+            by_key.setdefault(key, []).append((e, s))
+    halo = np.full((E, 4, n - 2), -1, dtype=np.int64)
+    for key, members in by_key.items():
+        if len(members) != 2:
+            continue          # boundary edge (1) or degenerate (>2): no halo
+        (ea, sa), (eb, sb) = members
+        ea_edge, eb_edge = edge[ea, sa], edge[eb, sb]
+        if np.array_equal(ea_edge, eb_edge):
+            halo[ea, sa] = inner[eb, sb][1:-1]
+            halo[eb, sb] = inner[ea, sa][1:-1]
+        elif np.array_equal(ea_edge, eb_edge[::-1]):
+            halo[ea, sa] = inner[eb, sb][::-1][1:-1]
+            halo[eb, sb] = inner[ea, sa][::-1][1:-1]
+        else:
+            raise RuntimeError("edge node-order mismatch - bad topology")
+    return halo
+
+
+def build_overlap_schwarz(mesh, A_el: np.ndarray,
+                          maskg: np.ndarray | None = None) -> np.ndarray:
+    """Overlapping additive-Schwarz patch inverses (E, P, P) with
+    P = n^2 + 4(n-2): each element's patch is its own n^2 nodes plus the
+    four width-one halo strips (neighbour's edge-adjacent interior row,
+    corner nodes excluded). This is the minimal-overlap Schwarz of
+    Fischer/Lottes SEM pressure preconditioning — the role the reference
+    gets from Nek5000's semg/XXT solvers (1cyl.par:29) — here with exact
+    dense patch inverses of the ASSEMBLED operator submatrix (patch count x
+    52^2 fits HBM trivially at SEM sizes).
+
+    Patch dof order: [own nodes row-major (n^2), halo side 0 (n-2), side 1,
+    side 2, side 3] — matching ops/gather_scatter.halo_rows. maskg: global
+    Dirichlet mask (0 rows/cols replaced by identity)."""
+    E, msz, _ = A_el.shape
+    n = int(round(np.sqrt(msz)))
+    A = _assemble_sparse(mesh, A_el).tolil()
+    if maskg is not None:
+        fixed = np.flatnonzero(np.asarray(maskg) == 0)
+        if fixed.size:
+            A = A.tocsr()
+            d = np.ones(A.shape[0])
+            d[fixed] = 0.0
+            Dm = sp.diags(d)
+            A = (Dm @ A @ Dm + sp.diags(1.0 - d)).tolil()
+    A = A.tocsr()
+    halo = build_halo_gids(mesh)                          # (E, 4, n-2)
+    pg = np.concatenate([mesh.gid.reshape(E, msz),
+                         halo.reshape(E, -1)], axis=1)    # (E, P)
+    P = pg.shape[1]
+    Ainv = np.empty((E, P, P))
+    for e in range(E):
+        valid = pg[e] >= 0
+        iv = pg[e][valid]
+        Ae = np.eye(P)
+        Ae[np.ix_(valid, valid)] = A[np.ix_(iv, iv)].toarray()
+        Ainv[e] = np.linalg.inv(Ae)
+    return Ainv
+
+
 def bilinear_embed(n: int) -> np.ndarray:
     """Q1 (bilinear) embedding on the reference element: (n^2, 4) matrix
     mapping the 4 vertex values [v(0,0), v(0,1), v(1,0), v(1,1)] (the

@@ -61,6 +61,9 @@ def context_specs(ctx: SemContext, axis: str = "e") -> SemContext:
         # NV x NV inverse, all replicated (corner slot values cross shards
         # through the qsum gather, which GSPMD lowers to one small gather)
         p_vfem=None if ctx.p_vfem is None else (rep, rep, rep, rep),
+        # overlap-Schwarz patch inverses (E, P, P): element-sharded; the
+        # halo exchange rides the same dssum collectives as everything else
+        p_oschwarz=None if ctx.p_oschwarz is None else e3,
         gs2_plan=ctx.gs2_plan,
         gs2_rv=None if ctx.gs2_rv is None else (rep, rep),
         jd=None if ctx.jd is None else rep,

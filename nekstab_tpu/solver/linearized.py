@@ -198,6 +198,42 @@ def make_linear_propagator(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
     return prop
 
 
+def make_linear_chunk(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
+                      shard=None):
+    """Chunked building block of the linearized propagator: one lax.scan
+    over a chunk of steps with the BDF/EXT coefficient rows as TRACED
+    arguments — so a single compiled executable serves every chunk position
+    (startup ramp included) and every total step count. The driver composes
+    chunks host-side (driver.linear_propagator(chunk=...)): compile time is
+    bounded by the chunk size instead of scaling with nsteps (the 549 s
+    BENCH_r03 compile), and the same executable is reused across bench /
+    Newton / eigensolve sampling periods.
+
+    chunk(base_u, sponge, state, ab_seq (c,4), eb_seq (c,3)) -> state', and
+    is linear in `state` (transposable for the chunked adjoint)."""
+    lstep = make_linear_step(ctx, cfg, has_outflow)
+
+    def chunk(base_u, sponge, state, ab_seq, eb_seq):
+        def body(st, xs):
+            if shard is not None:
+                st = lax.with_sharding_constraint(st, shard[0])
+            ab, eb = xs
+            return lstep(base_u, sponge, st, ab, eb), None
+
+        final, _ = lax.scan(body, state, (ab_seq, eb_seq))
+        return final
+
+    return chunk
+
+
+def zero_pstate(ctx: SemContext, u0: jnp.ndarray) -> NSState:
+    """Cold-start perturbation state for the linearized propagator."""
+    z = jnp.zeros((2,) + u0.shape, u0.dtype)
+    zcc = jnp.zeros((2, 2) + u0.shape[1:], u0.dtype)
+    return NSState(u=u0, p=jnp.zeros_like(ctx.bm),
+                   ulag=jnp.stack([u0, u0]), nlag=z, cclag=zcc)
+
+
 def make_adjoint_propagator(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
                             nsteps: int, shard=None):
     """Returns adj(base_u, sponge, v) -> (u_adj, p_aux): action of the

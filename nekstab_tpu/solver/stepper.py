@@ -174,9 +174,22 @@ def _pressure_solver(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
     mloc = ctx.multinv.reshape(-1, nn)
 
     def precond(r):
-        # fine level: element-Schwarz pseudo-inverses or Jacobi; coarse
-        # level: spectral deflation Z C^-1 Z^T r (p_defl_z is (m, G) here)
-        if ctx.p_schwarz is not None:
+        # fine level: overlapping-Schwarz patches, element-Schwarz
+        # pseudo-inverses or Jacobi; coarse level: spectral deflation
+        # Z C^-1 Z^T r (p_defl_z is (m, G) here)
+        if ctx.p_oschwarz is not None:
+            from ..ops.gather_scatter import halo_rows, halo_rows_t
+            t = ctx.multinv * scatter(ctx, r)   # W on both sides: symmetric
+            H = halo_rows(ctx, t)
+            lead = t.shape[:-3]
+            E = t.shape[-3]
+            xp = jnp.concatenate([t.reshape(lead + (E, nn)),
+                                  H.reshape(lead + (E, -1))], axis=-1)
+            zp = bmatvec(ctx.p_oschwarz, xp)
+            zl = (zp[..., :nn].reshape(t.shape)
+                  + halo_rows_t(ctx, zp[..., nn:].reshape(H.shape)))
+            z = assemble(ctx, ctx.multinv * zl)
+        elif ctx.p_schwarz is not None:
             rl = scatter(ctx, r).reshape(-1, nn) * mloc
             ze = bmatvec(ctx.p_schwarz, rl)
             z = assemble(ctx, (ze * mloc).reshape(ctx.bm.shape))
@@ -245,12 +258,27 @@ def make_pressure_precond_gs2(ctx: SemContext):
     nn = ctx.n * ctx.n
 
     def _core(r):
-        # fine level: element Schwarz (multiplicity-weighted on both sides
-        # => Euclidean-symmetric) or point Jacobi; coarse level: spectral
-        # deflation zc = Z C^-1 Z^T r — two skinny GEMMs; under sharding
-        # the only communication is the psum of the (m,) coefficients
-        # (replaces an all_gather-based dense (E, E) coarse inverse)
-        if ctx.p_schwarz is not None:
+        # fine level: overlapping-Schwarz patches (exact inverses of the
+        # assembled-operator patch submatrices, halo width 1 — the
+        # Fischer/Lottes semg-style smoother; ops/precond.
+        # build_overlap_schwarz), or element Schwarz (multiplicity-weighted
+        # on both sides => Euclidean-symmetric), or point Jacobi; coarse
+        # level: spectral deflation zc = Z C^-1 Z^T r — two skinny GEMMs;
+        # under sharding the only communication is the psum of the (m,)
+        # coefficients (replaces an all_gather-based dense (E, E) coarse
+        # inverse)
+        if ctx.p_oschwarz is not None:
+            from ..ops.gather_scatter import halo_rows, halo_rows_t
+            t = mask * r
+            H = halo_rows(ctx, t)
+            lead = t.shape[:-3]
+            E = t.shape[-3]
+            xp = jnp.concatenate([t.reshape(lead + (E, nn)),
+                                  H.reshape(lead + (E, -1))], axis=-1)
+            zp = bmatvec(ctx.p_oschwarz, xp)
+            z = (zp[..., :nn].reshape(t.shape)
+                 + halo_rows_t(ctx, zp[..., nn:].reshape(H.shape)))
+        elif ctx.p_schwarz is not None:
             rl = (ctx.multinv * (mask * r)).reshape(-1, nn)
             ze = bmatvec(ctx.p_schwarz, rl)
             z = (ze.reshape(ctx.bm.shape)) * ctx.multinv
@@ -473,6 +501,30 @@ def make_advance(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
         return lax.scan(body, state, xs)
 
     return advance
+
+
+def make_advance_chunk(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
+                       shard=None):
+    """Chunked building block of the nonlinear advance: one scan over a
+    chunk of steps with the BDF/EXT coefficient rows as traced arguments,
+    so one compiled executable serves every chunk position and every total
+    step count (see solver/linearized.make_linear_chunk — same rationale:
+    compile time bounded by the chunk size). Returns
+    chunk(case, state, ab_seq, eb_seq) -> (state', energies (c,))."""
+    step = make_step(ctx, cfg, has_outflow)
+
+    def chunk(case: CaseFields, state: NSState, ab_seq, eb_seq):
+        def body(st, xs):
+            if shard is not None:
+                st = lax.with_sharding_constraint(st, shard[0])
+            ab, eb = xs
+            new_state, _ = step(case, st, ab, eb)
+            energy = 0.5 * glsc3(ctx, new_state.u, ctx.bm, new_state.u)
+            return new_state, energy
+
+        return lax.scan(body, state, (ab_seq, eb_seq))
+
+    return chunk
 
 
 def make_advance_dt(ctx: SemContext, cfg: NSConfig, has_outflow: bool,

@@ -67,7 +67,7 @@ def main():
     ap.add_argument("--no-seq", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--f64", action="store_true")
-    ap.add_argument("--precond", default="schwarz_vfem")
+    ap.add_argument("--precond", default="oschwarz_vfem")
     ap.add_argument("--mm-high", action="store_true")
     ap.add_argument("--mm-highest", action="store_true")
     args = ap.parse_args()

@@ -35,7 +35,7 @@ BF_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--precond", default="schwarz_vfem")
+    ap.add_argument("--precond", default="oschwarz_vfem")
     ap.add_argument("--vmaxit", type=int, default=60)
     ap.add_argument("--pmaxit", type=int, default=250)
     ap.add_argument("--f64", action="store_true")

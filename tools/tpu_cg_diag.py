@@ -57,5 +57,5 @@ def main(modes):
 
 
 if __name__ == "__main__":
-    modes = sys.argv[1:] or ["schwarz_vfem", "vfem", "schwarz_vfem_defl"]
+    modes = sys.argv[1:] or ["oschwarz_vfem", "vfem", "schwarz_vfem_defl"]
     main(modes)
