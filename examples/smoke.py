@@ -22,6 +22,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 # (script, args, timeout_s). Everything runs JAX_PLATFORMS=cpu f64.
 MATRIX = [
     ("taylor_green.py", [], 300),
+    ("taylor_green3d.py", [], 600),
     ("kovasznay.py", [], 300),
     ("cavity_stability.py", ["--smoke"], 600),
     ("bfs_transient_growth.py", ["--smoke"], 600),
