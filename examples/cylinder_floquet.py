@@ -99,14 +99,36 @@ def main(args):
     u0 = base
     u0 = u0.at[1].add(jnp.asarray(kick * np.asarray(ctx.mask_vel[1]),
                                   ctx.dtype))
+    # segmented warmup with a resume checkpoint: the remote-TPU relay can
+    # crash mid-DNS (observed: "TPU worker process crashed" 25 min in) and
+    # a monolithic 12k-step warmup would lose everything
+    from nekstab_tpu.io.checkpoint import load_field, save_field
+    warm_ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "_floq_warmup.npz")
+    t_done = 0.0
+    if os.path.exists(warm_ckpt):
+        uw, _, metaw = load_field(warm_ckpt, dtype=ctx.dtype)
+        if abs(metaw.get("dt", 0) - args.dt) < 1e-12:
+            u0 = jnp.asarray(uw)
+            t_done = float(metaw.get("t_done", 0.0))
+            print(f"warmup resume: t={t_done}", flush=True)
     st = initial_state(ctx, u0)
-    nwarm = int(round(args.warmup / args.dt))
-    adv = sys_.nonlinear_advance(nwarm)
-    st, E = adv(sys_.case, st)
-    Etail = np.asarray(E[-int(5.0 / args.dt):])
-    print(f"warmup {args.warmup} TU: E={float(E[-1]):.6f} "
-          f"E-osc={float(Etail.max() - Etail.min()):.2e} "
-          f"({time.time()-t0:.0f}s)", flush=True)
+    seg_tu = 10.0
+    E = None
+    while t_done < args.warmup - 1e-9:
+        tu = min(seg_tu, args.warmup - t_done)
+        nseg = int(round(tu / args.dt))
+        st, E = sys_.nonlinear_advance(nseg)(sys_.case, st)
+        jax.block_until_ready(st.u)
+        t_done += tu
+        save_field(warm_ckpt, np.asarray(st.u), dt=args.dt, t_done=t_done)
+        print(f"  warmup t={t_done:.0f}/{args.warmup:.0f} "
+              f"E={float(E[-1]):.6f} ({time.time()-t0:.0f}s)", flush=True)
+    if E is not None:
+        Etail = np.asarray(E[-min(len(E), int(5.0 / args.dt)):])
+        print(f"warmup {args.warmup} TU: E={float(E[-1]):.6f} "
+              f"E-osc={float(Etail.max() - Etail.min()):.2e} "
+              f"({time.time()-t0:.0f}s)", flush=True)
 
     # --- 2. period from wake-probe zero crossings -----------------------
     pi = probe_index(ctx, 3.0, 0.0)

@@ -70,4 +70,16 @@ def gmres(space: ArnoldiSpace, rhs, ksize: int, x0=None, rtol: float = 1e-8,
         if res <= tol_abs:
             return x, dict(converged=True, niter=total_mv, residual=res,
                            history=hist)
+        # stagnation guard: when a full restart cycle improves the residual
+        # by less than 2x, the solve has hit its floor (matvec/orthogonalization
+        # roundoff) and further restarts are pure waste — observed: a Newton
+        # dyntol target of 1e-6 x |F| at |F| ~ 1e-9 sits below the f64 floor
+        # and blind restarting (as the reference's ts_gmres does,
+        # core/newton_krylov.f:305-328) would burn max_outer full cycles
+        if res > 0.5 * beta:
+            logger(f"[gmres] stagnated at {res:.3e} "
+                   f"(outer improvement {beta / max(res, 1e-300):.2f}x) "
+                   "- stopping restarts")
+            return x, dict(converged=False, niter=total_mv, residual=res,
+                           history=hist)
     return x, dict(converged=False, niter=total_mv, residual=res, history=hist)
