@@ -143,23 +143,32 @@ class FlowSystem:
 
     def nonlinear_advance(self, nsteps: int, collect: bool = False):
         """Jitted nonlinear advance: (case, state) -> (state', aux)."""
-        if not collect and self._can_chunk(nsteps):
+        if self._can_chunk(nsteps):
             from .solver.stepper import make_advance_chunk
             kw = {} if self._shard is None else {"shard": self._shard}
-            chunk_fn = self._get(("advchunk",), lambda: jax.jit(
+            chunk_fn = self._get(("advchunk", collect), lambda: jax.jit(
                 make_advance_chunk(self.ctx, self.cfg,
-                                   self.mesh.has_outflow, **kw)))
+                                   self.mesh.has_outflow, collect=collect,
+                                   **kw)))
             pieces = self._chunk_pieces(nsteps)
 
             def advance(case, state, bcw_seq=None):
                 assert bcw_seq is None, "bcw_seq: use chunk_steps=None"
-                es = []
+                es, trs = [], []
                 for ab, eb in pieces:
-                    state, e = chunk_fn(case, state, ab, eb)
-                    es.append(e)
+                    state, aux = chunk_fn(case, state, ab, eb)
+                    if collect:
+                        es.append(aux[0])
+                        trs.append(aux[1])
+                    else:
+                        es.append(aux)
+                if collect:
+                    return state, (jnp.concatenate(es),
+                                   jnp.concatenate(trs))
                 return state, jnp.concatenate(es)
 
-            return self._get(("advchunked", nsteps), lambda: advance)
+            return self._get(("advchunked", nsteps, collect),
+                             lambda: advance)
         mk_adv = self._builders[0]
         kw = {} if self._shard is None else {"shard": self._shard}
         return self._get(("adv", nsteps, collect), lambda: jax.jit(
@@ -201,23 +210,26 @@ class FlowSystem:
             pieces = self._chunk_pieces(nsteps)
             ctx = self.ctx
 
+            c = self.chunk_steps
+
             def prop(base_u, sponge, u0, p0=None):
-                if (hasattr(base_u, "ndim") and base_u.ndim == 5) \
-                        or not hasattr(base_u, "ndim"):
-                    # Floquet orbit / FourierOrbit base: monolithic path
-                    return self._get(("lin", nsteps), build_mono)(
-                        base_u, sponge, u0, p0)
+                from .solver.orbit import FourierOrbit
+                fourier = isinstance(base_u, FourierOrbit)
+                orbit = (not fourier) and base_u.ndim == 5
                 st = zero_pstate(ctx, u0)
                 if p0 is not None:
                     st = st._replace(p=p0)
-                for ab, eb in pieces:
-                    st = chunk_fn(base_u, sponge, st, ab, eb)
+                for k, (ab, eb) in enumerate(pieces):
+                    if fourier:
+                        j = jnp.arange(k * c, k * c + ab.shape[0])
+                        st = chunk_fn(base_u, sponge, st, ab, eb, j, nsteps)
+                    elif orbit:
+                        bu = jax.lax.slice_in_dim(base_u, k * c,
+                                                  k * c + ab.shape[0], axis=0)
+                        st = chunk_fn(bu, sponge, st, ab, eb)
+                    else:
+                        st = chunk_fn(base_u, sponge, st, ab, eb)
                 return st.u, st.p
-
-            def build_mono():
-                kw = {} if self._shard is None else {"shard": self._shard}
-                return jax.jit(self._builders[1](
-                    self.ctx, self.cfg, self.mesh.has_outflow, nsteps, **kw))
 
             return self._get(("linchunked", nsteps), lambda: prop)
         mk_lin = self._builders[1]

@@ -213,14 +213,38 @@ def make_linear_chunk(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
     is linear in `state` (transposable for the chunked adjoint)."""
     lstep = make_linear_step(ctx, cfg, has_outflow)
 
-    def chunk(base_u, sponge, state, ab_seq, eb_seq):
+    def chunk(base_u, sponge, state, ab_seq, eb_seq, j_seq=None,
+              total_n=None):
+        """base_u: steady (2,E,n,n), an orbit CHUNK (c,2,E,n,n) scanned in
+        lockstep with the coefficient rows (Floquet replay), or a
+        FourierOrbit with j_seq the (c,) snapshot indices and total_n the
+        full period length (compressed Floquet replay)."""
+        from .orbit import FourierOrbit, orbit_at
+        fourier = isinstance(base_u, FourierOrbit)
+        orbit = (not fourier) and base_u.ndim == 5
+
         def body(st, xs):
             if shard is not None:
                 st = lax.with_sharding_constraint(st, shard[0])
-            ab, eb = xs
-            return lstep(base_u, sponge, st, ab, eb), None
+            if fourier:
+                ab, eb, j = xs
+                bu = orbit_at(base_u, j, total_n)
+            elif orbit:
+                ab, eb, bu = xs
+                if shard is not None:
+                    bu = lax.with_sharding_constraint(bu, shard[1])
+            else:
+                ab, eb = xs
+                bu = base_u
+            return lstep(bu, sponge, st, ab, eb), None
 
-        final, _ = lax.scan(body, state, (ab_seq, eb_seq))
+        if fourier:
+            xs = (ab_seq, eb_seq, j_seq)
+        elif orbit:
+            xs = (ab_seq, eb_seq, base_u)
+        else:
+            xs = (ab_seq, eb_seq)
+        final, _ = lax.scan(body, state, xs)
         return final
 
     return chunk

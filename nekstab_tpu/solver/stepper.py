@@ -504,13 +504,18 @@ def make_advance(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
 
 
 def make_advance_chunk(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
-                       shard=None):
+                       shard=None, collect: bool = False):
     """Chunked building block of the nonlinear advance: one scan over a
     chunk of steps with the BDF/EXT coefficient rows as traced arguments,
     so one compiled executable serves every chunk position and every total
     step count (see solver/linearized.make_linear_chunk — same rationale:
     compile time bounded by the chunk size). Returns
-    chunk(case, state, ab_seq, eb_seq) -> (state', energies (c,))."""
+    chunk(case, state, ab_seq, eb_seq) -> (state', energies (c,)); with
+    collect=True the aux is (energies, trajectory chunk), exactly the
+    make_advance(collect=True) aux split per chunk — so orbit collection
+    (Floquet/UPO) no longer needs one monolithic multi-thousand-step device
+    program (the axon relay kills single calls beyond its execution-time
+    limit: observed 'TPU worker process crashed' on a 2500-step collect)."""
     step = make_step(ctx, cfg, has_outflow)
 
     def chunk(case: CaseFields, state: NSState, ab_seq, eb_seq):
@@ -520,7 +525,8 @@ def make_advance_chunk(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
             ab, eb = xs
             new_state, _ = step(case, st, ab, eb)
             energy = 0.5 * glsc3(ctx, new_state.u, ctx.bm, new_state.u)
-            return new_state, energy
+            out = (energy, new_state.u) if collect else energy
+            return new_state, out
 
         return lax.scan(body, state, (ab_seq, eb_seq))
 

@@ -79,6 +79,50 @@ def test_chunked_nonlinear_advance_matches(sys_small):
     assert np.allclose(np.asarray(em), np.asarray(ec), rtol=1e-12)
 
 
+def test_chunked_collect_matches(sys_small):
+    """collect=True through chunks: energies AND trajectory identical."""
+    s = sys_small
+    base = freestream_ic(s)
+    from nekstab_tpu.solver import initial_state
+    s.chunk_steps = None
+    s._cache.clear()
+    stm, (em, tm) = s.nonlinear_advance(NSTEPS, collect=True)(
+        s.case, initial_state(s.ctx, base))
+    s.chunk_steps = 3
+    s._cache.clear()
+    stc, (ec, tc) = s.nonlinear_advance(NSTEPS, collect=True)(
+        s.case, initial_state(s.ctx, base))
+    assert tm.shape == tc.shape == (NSTEPS,) + base.shape
+    assert np.allclose(np.asarray(tm), np.asarray(tc), rtol=1e-12,
+                       atol=1e-13)
+    assert np.allclose(np.asarray(em), np.asarray(ec), rtol=1e-12)
+
+
+def test_chunked_floquet_orbit_matches(sys_small):
+    """Orbit-replay (Floquet) base through chunks == monolithic, for both
+    the raw orbit and the Fourier-compressed representation."""
+    s = sys_small
+    base = freestream_ic(s)
+    from nekstab_tpu.solver import initial_state
+    from nekstab_tpu.solver.orbit import compress_orbit
+    s.chunk_steps = None
+    s._cache.clear()
+    _, (_, orbit) = s.nonlinear_advance(NSTEPS, collect=True)(
+        s.case, initial_state(s.ctx, base))
+    fo = compress_orbit(orbit, energy=0.9999)
+    v = add_noise(s.ctx, seed=4)
+    wm_orbit, _ = s.linear_propagator(NSTEPS)(orbit, s.sponge_fun, v)
+    wm_four, _ = s.linear_propagator(NSTEPS)(fo, s.sponge_fun, v)
+    s.chunk_steps = 3
+    s._cache.clear()
+    wc_orbit, _ = s.linear_propagator(NSTEPS)(orbit, s.sponge_fun, v)
+    wc_four, _ = s.linear_propagator(NSTEPS)(fo, s.sponge_fun, v)
+    assert np.allclose(np.asarray(wm_orbit), np.asarray(wc_orbit),
+                       rtol=1e-12, atol=1e-13)
+    assert np.allclose(np.asarray(wm_four), np.asarray(wc_four),
+                       rtol=1e-12, atol=1e-13)
+
+
 def test_chunked_newton_iteration_matches(sys_small):
     """One Newton iteration (residual + jvp-Jacobian GMRES) through the
     chunked path must reproduce the monolithic jitted path."""
