@@ -23,7 +23,7 @@ import numpy as np
 
 from ..config import NSConfig
 from ..ops.gather_scatter import glsc3
-from ..solver.stepper import initial_state, make_advance_dt
+from ..solver.stepper import initial_state
 from .arnoldi import ArnoldiSpace
 from .gmres import gmres
 
@@ -50,29 +50,65 @@ def newton_upo(sys_, u0, T0: float, nsteps: int, *, tol: float = 1e-8,
     """
     ctx = sys_.ctx
     case = sys_.case
-    adv = sys_._get(("upo_adv", nsteps), lambda: jax.jit(
-        make_advance_dt(ctx, sys_.cfg, sys_.mesh.has_outflow, nsteps)))
-    adv_collect = sys_._get(("upo_advc", nsteps), lambda: jax.jit(
-        make_advance_dt(ctx, sys_.cfg, sys_.mesh.has_outflow, nsteps,
-                        collect=True)))
+    from ..solver.stepper import NSState, make_advance_dt_chunk
+    # chunked composition: a monolithic nsteps-scan exceeds the axon
+    # relay's per-call execution limit at physical orbit lengths (observed:
+    # 'TPU worker process crashed' on the 724-step Re=60 residual eval);
+    # the chunk executables are shared across chunk positions and T values
+    if not getattr(sys_, "chunk_steps", None):
+        sys_.chunk_steps = nsteps          # single piece (CPU/testing)
+    pieces = sys_._chunk_pieces(nsteps)
+    chunkd = sys_._get(("upo_chunk",), lambda: jax.jit(
+        make_advance_dt_chunk(ctx, sys_.cfg, sys_.mesh.has_outflow)))
+    chunkd_c = sys_._get(("upo_chunkc",), lambda: jax.jit(
+        make_advance_dt_chunk(ctx, sys_.cfg, sys_.mesh.has_outflow,
+                              collect=True)))
+
+    def build_jvpc():
+        raw = make_advance_dt_chunk(ctx, sys_.cfg, sys_.mesh.has_outflow)
+        return jax.jit(lambda cs, st, ts, dt, sdt, ab, eb: jax.jvp(
+            lambda s, d: raw(cs, s, d, ab, eb)[0], (st, dt), (ts, sdt)))
+
+    jvpc = sys_._get(("upo_jvpchunk",), build_jvpc)
 
     def phi(u, T):
-        st, _ = adv(case, initial_state(ctx, u), T / nsteps)
+        st = initial_state(ctx, u)
+        dt = jnp.asarray(T / nsteps, ctx.dtype)
+        for ab, eb in pieces:
+            st, _ = chunkd(case, st, dt, ab, eb)
         return st.u
 
-    def residual_fn(u, T):
+    def adv_collect(case_, st, dt):
+        trs = []
+        for ab, eb in pieces:
+            st, tr = chunkd_c(case_, st, dt, ab, eb)
+            trs.append(tr)
+        return st, jnp.concatenate(trs)
+
+    def resid_jit(u, T):
         return phi(u, T) - u
 
-    resid_jit = sys_._get(("upo_res", nsteps), lambda: jax.jit(residual_fn))
-    jvp_jit = sys_._get(("upo_jvp", nsteps), lambda: jax.jit(
-        lambda u, T, v, s: jax.jvp(residual_fn, (u, T), (v, s))[1]))
+    def jvp_jit(u, T, v, s):
+        st = initial_state(ctx, u)
+        z2 = jnp.zeros((2,) + v.shape, v.dtype)
+        zcc = jnp.zeros((2, 2) + v.shape[1:], v.dtype)
+        ts = NSState(u=v, p=jnp.zeros_like(ctx.bm),
+                     ulag=jnp.stack([v, v]), nlag=z2, cclag=zcc)
+        dt = jnp.asarray(T / nsteps, ctx.dtype)
+        sdt = jnp.asarray(s / nsteps, ctx.dtype)
+        for ab, eb in pieces:
+            st, ts = jvpc(case, st, ts, dt, sdt, ab, eb)
+        return ts.u - v
 
-    # phase-condition vector: du/dt at t=0 via one short step
-    one_step = sys_._get(("upo_one", 1), lambda: jax.jit(
-        make_advance_dt(ctx, sys_.cfg, sys_.mesh.has_outflow, 1)))
+    # phase-condition vector: du/dt at t=0 via one short step (a 1-row
+    # coefficient piece through the same chunk executable)
+    from ..solver.stepper import timestep_coeffs
+    ab1, eb1 = timestep_coeffs(1, sys_.cfg.torder, np.float64)
+    ab1 = jnp.asarray(ab1, ctx.dtype)
+    eb1 = jnp.asarray(eb1, ctx.dtype)
 
     def dudt(u, dt_small):
-        st, _ = one_step(case, initial_state(ctx, u), dt_small)
+        st, _ = chunkd(case, initial_state(ctx, u), dt_small, ab1, eb1)
         return (st.u - u) / dt_small
 
     u, T = u0, float(T0)

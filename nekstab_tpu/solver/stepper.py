@@ -533,6 +533,28 @@ def make_advance_chunk(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
     return chunk
 
 
+def make_advance_dt_chunk(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
+                          collect: bool = False):
+    """Chunked building block of the traced-dt nonlinear advance (the UPO
+    period map, where dt = T/nsteps is a Newton unknown): one scan over a
+    chunk of steps with dt traced and the BDF/EXT rows as arguments —
+    bounded per-call execution time (axon relay limit; see
+    make_advance_chunk) and one executable for every chunk position.
+    chunk(case, state, dt, ab_seq, eb_seq) -> (state', traj|None)."""
+    step = make_step(ctx, cfg, has_outflow)
+
+    def chunk(case: CaseFields, state: NSState, dt, ab_seq, eb_seq):
+        def body(st, xs):
+            ab, eb = xs
+            new_state, _ = step(case, st, ab, eb, dt=dt)
+            out = new_state.u if collect else None
+            return new_state, out
+
+        return lax.scan(body, state, (ab_seq, eb_seq))
+
+    return chunk
+
+
 def make_advance_dt(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
                     nsteps: int, collect: bool = False):
     """Like make_advance but with the time step as a *traced* argument:
