@@ -193,11 +193,34 @@ def main(do_ritz=True, nmatvec=3):
                                                            file=sys.stderr,
                                                            flush=True))
             ritz_wall = time.time() - t0
-            nconv = int(np.sum(ks.residuals < acfg.eigen_tol))
+            conv = ks.residuals < acfg.eigen_tol
+            nconv = int(np.sum(conv))
             result.update(ritz20_wall_s=round(ritz_wall, 1),
                           ritz_converged=nconv,
                           ritz_kdim=acfg.k_dim,
                           ritz_tol=acfg.eigen_tol)
+            # ---- verifiability (VERDICT r4 #2): record the leading
+            # converged eigenvalues and their gap to (a) this exact
+            # discretization's f64 CPU answer (pnpn, dt=1e-2, Newton BF;
+            # out/gold/dt1em2.log — isolates the f32/tolerance error) and
+            # (b) the reference gold (Spectre_NSd_conv.dat:1-2 — the
+            # physics gap, dominated by the pnpn-vs-PN/PN-2 pressure
+            # space, RESULTS.md section 2).
+            from nekstab_tpu.algorithms import log_transform
+            lam = log_transform(ks.evals[conv], tau=nsteps * DT)
+            order = np.argsort(-lam.real)
+            lam = lam[order]
+            F64_SAME = complex(1.66503052e-2, 7.60561592e-1)
+            GOLD = complex(1.567373e-2, 7.565285e-1)
+            if lam.size:
+                lead = complex(lam[0].real, abs(lam[0].imag))
+                result.update(
+                    ritz_lead_sigma=round(lead.real, 8),
+                    ritz_lead_omega=round(lead.imag, 8),
+                    ritz_gap_f64_same_disc=round(abs(lead - F64_SAME), 8),
+                    ritz_gap_gold=round(abs(lead - GOLD), 8),
+                    ritz_top5=[[round(l.real, 7), round(abs(l.imag), 7)]
+                               for l in lam[:5]])
             emit(result)
         except Exception as e:
             print(f"# ritz stage failed: {e!r}", file=sys.stderr, flush=True)

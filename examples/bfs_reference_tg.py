@@ -26,22 +26,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
+TPU = "--tpu" in sys.argv
+if TPU:
+    from nekstab_tpu.utils.compilecache import enable as _enable_cache
+    _enable_cache()
+jax.config.update("jax_enable_x64", True)   # f64 Ritz algebra even on TPU
 
 import jax.numpy as jnp
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 RE2 = "/root/reference/examples/back_fstep/transient_growth/bfs.re2"
-BF = os.path.join(HERE, "_bf_bfs_ref.npz")
 BARKLEY = {1.723: 15.536, 3.853: 33.552, 5.901: 45.066}
 
 
+def bf_path():
+    return os.path.join(HERE, "_bf_bfs_ref_tpu.npz" if TPU
+                        else "_bf_bfs_ref.npz")
+
+
 def build(dt):
+    import dataclasses
     from nekstab_tpu.models.bfs import bfs_reference_system
     # sponge_strength=0: the reference computes the BASE FLOW without a
     # sponge (baseflow/bfs.par has no userParam08-10); the unit-strength
     # perturbation sponge and the bm1s mask still come from sponge_fun
+    if TPU:
+        sys_ = bfs_reference_system(RE2, n=6, re=500.0, dt=dt,
+                                    dtype=jnp.float32, vtol=1e-5, ptol=1e-5,
+                                    sponge_strength=0.0)
+        sys_.cfg = dataclasses.replace(sys_.cfg, vmaxit=100, pmaxit=400)
+        return sys_
     return bfs_reference_system(RE2, n=6, re=500.0, dt=dt, host_direct=True,
                                 sponge_strength=0.0)
 
@@ -52,20 +67,23 @@ def stage_base(dt, warmup):
     t0 = time.time()
     sys_ = build(dt)
     ctx = sys_.ctx
-    print(f"mesh: {sys_.mesh.nelem} elems, {sys_.mesh.nglobal} dofs", flush=True)
+    print(f"mesh: {sys_.mesh.nelem} elems, {sys_.mesh.nglobal} dofs, "
+          f"backend={jax.default_backend()}", flush=True)
     st = sys_.initial_state(sys_.case.u_bc + 0.0)
     nwarm = int(round(warmup / dt))
     st, E = sys_.nonlinear_advance(nwarm)(sys_.case, st)
     print(f"warmup {warmup} TU: E={float(E[-1]):.6f} "
           f"CFL={float(cfl(ctx, st.u, dt)):.3f} ({time.time()-t0:.0f}s)",
           flush=True)
-    res = sys_.newton_base_flow(st.u, tau=1.0, tol=1e-10, k_dim=128,
+    res = sys_.newton_base_flow(st.u, tau=1.0,
+                                tol=3e-5 if TPU else 1e-10, k_dim=128,
                                 maxiter=10,
                                 logger=lambda s: print(s, flush=True))
     print(f"newton: converged={res.converged} |F|={res.residuals[-1]:.3e} "
           f"({time.time()-t0:.0f}s)")
-    save_field(BF, np.asarray(res.q), newton_residual=res.residuals[-1])
-    print(f"saved {BF}")
+    save_field(bf_path(), np.asarray(res.q),
+               newton_residual=res.residuals[-1])
+    print(f"saved {bf_path()}")
 
 
 def stage_tg(dt, tau, k_dim, tol):
@@ -77,11 +95,12 @@ def stage_tg(dt, tau, k_dim, tol):
     t0 = time.time()
     sys_ = build(dt)
     ctx = sys_.ctx
-    u, _, meta = load_field(BF, dtype=ctx.dtype)
+    u, _, meta = load_field(bf_path(), dtype=ctx.dtype)
     base = jnp.asarray(u)
-    print(f"base |F|={meta.get('newton_residual')}", flush=True)
+    print(f"base |F|={meta.get('newton_residual')} "
+          f"backend={jax.default_backend()}", flush=True)
     nsteps = int(round(tau / dt))
-    space = sys_.transient_growth_space(base, nsteps)
+    space = sys_.transient_growth_space(base, nsteps, dot64=TPU)
     acfg = ArnoldiConfig(k_dim=k_dim, eigen_tol=tol, schur_tgt=2,
                          max_restarts=4, maxmodes=4)
     ks = krylov_schur(space, add_noise(ctx, seed=5), acfg,
@@ -98,8 +117,12 @@ def stage_tg(dt, tau, k_dim, tol):
            "ritz_residual": float(ks.residuals[order][0]),
            "gold_barkley2008": gold,
            "dG_rel": None if gold is None else float(gains[0] / gold - 1.0),
+           "backend": jax.default_backend(), "dt": dt,
            "wall_s": round(time.time() - t0, 1)}
     print(json.dumps(out))
+    with open(os.path.join(HERE, "..", "out",
+                           f"bfs_tg_tau{tau:g}.json"), "w") as fh:
+        json.dump(out, fh)
 
 
 def stage_smoke(dt=1e-2):
@@ -125,6 +148,7 @@ if __name__ == "__main__":
     ap.add_argument("--kdim", type=int, default=64)
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--warmup", type=float, default=60.0)
+    ap.add_argument("--tpu", action="store_true")
     args = ap.parse_args()
     if args.stage == "base":
         stage_base(args.dt, args.warmup)

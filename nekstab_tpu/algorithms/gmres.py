@@ -61,6 +61,8 @@ def gmres(space: ArnoldiSpace, rhs, ksize: int, x0=None, rtol: float = 1e-8,
             y, *_ = np.linalg.lstsq(H[: j + 1, :j], e1, rcond=None)
             res = float(np.linalg.norm(e1 - H[: j + 1, :j] @ y))
             hist.append(res)
+            if j % 25 == 0:
+                logger(f"[gmres]   k={j} residual={res:.3e}")
             if res <= tol_abs:
                 break
         dx = tree_combine(_basis_prefix(Q, j), np.ascontiguousarray(y))

@@ -113,6 +113,25 @@ class FlowSystem:
 
         return d
 
+    @property
+    def dot64_full(self):
+        """Full-mass (unmasked) inner product with f64 accumulation — the
+        mixed-precision analog of dot_full, for the transient-growth space
+        on TPU (same x64 requirement as dot64)."""
+        if not jax.config.jax_enable_x64:
+            raise RuntimeError("dot64_full requires jax_enable_x64")
+        ctx = self.ctx
+        w = ctx.bm
+
+        def d(a, b):
+            s = jnp.sum(a.astype(jnp.float64) * w.astype(jnp.float64)
+                        * b.astype(jnp.float64))
+            if ctx.axis_name is not None:
+                s = jax.lax.psum(s, ctx.axis_name)
+            return s
+
+        return d
+
     # ------------------------------------------------------------------
     # propagators
     # ------------------------------------------------------------------
@@ -360,7 +379,8 @@ class FlowSystem:
                              dot=self.dot64 if dot64 else self.dot)
         return space, lambda V: propb(base_u, sp, V)
 
-    def transient_growth_space(self, base_u, nsteps: int) -> ArnoldiSpace:
+    def transient_growth_space(self, base_u, nsteps: int,
+                               dot64: bool = False) -> ArnoldiSpace:
         """Direct-adjoint composition exp(tau L)* exp(tau L): optimal-gain
         (transient growth) eigenproblem (transient_growth_map,
         core/matvec.f:332-349)."""
@@ -372,7 +392,8 @@ class FlowSystem:
             w, _ = prop(base_u, sp, v)
             return adj(base_u, sp, w)[0]
 
-        return ArnoldiSpace(matvec=matvec, dot=self.dot_full)
+        return ArnoldiSpace(matvec=matvec,
+                            dot=self.dot64_full if dot64 else self.dot_full)
 
     # ------------------------------------------------------------------
     # Newton-Krylov base flow (uparam 2.0; core/newton_krylov.f:5-167)
