@@ -76,6 +76,8 @@ def main(args):
     st_heur = 0.208 - 4.16 / 60.0
     out = {
         "converged": res.converged,
+        "seed_satisfied": res.seed_satisfied,
+        "gmres_solves": res.gmres_solves,
         "period": res.period,
         "St": 1.0 / res.period,
         "St_heuristic": st_heur,

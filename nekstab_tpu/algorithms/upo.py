@@ -36,6 +36,11 @@ class UPOResult:
     converged: bool = False
     niter: int = 0
     orbit: jnp.ndarray | None = None   # (nsteps, 2, E, n, n) final orbit
+    # `converged` alone cannot distinguish "the seed already satisfied tol"
+    # (zero corrections taken — the r4 Re=60 record, VERDICT r4 Weak #5)
+    # from an actual Newton convergence; these two make the record honest:
+    gmres_solves: int = 0              # bordered-Jacobian solves taken
+    seed_satisfied: bool = False       # True iff converged with 0 solves
 
 
 def newton_upo(sys_, u0, T0: float, nsteps: int, *, tol: float = 1e-8,
@@ -114,6 +119,7 @@ def newton_upo(sys_, u0, T0: float, nsteps: int, *, tol: float = 1e-8,
     u, T = u0, float(T0)
     hist = []
     orbit = None
+    nsolves = 0
     for it in range(1, maxiter + 1):
         f = resid_jit(u, T)
         rnorm = float(jnp.sqrt(glsc3(ctx, f, ctx.bm, f)))
@@ -124,7 +130,8 @@ def newton_upo(sys_, u0, T0: float, nsteps: int, *, tol: float = 1e-8,
                 st, orbit = adv_collect(case, initial_state(ctx, u),
                                         T / nsteps)
             return UPOResult(u=u, period=T, residuals=hist, converged=True,
-                             niter=it, orbit=orbit)
+                             niter=it, orbit=orbit, gmres_solves=nsolves,
+                             seed_satisfied=(nsolves == 0))
         c = dudt(u, T / nsteps)
 
         def matvec(vs):
@@ -141,7 +148,8 @@ def newton_upo(sys_, u0, T0: float, nsteps: int, *, tol: float = 1e-8,
         rtol_eff = min(0.1, max(gmres_rtol, 0.1 * rnorm))
         (du, dT), info = gmres(space, rhs, ksize=k_dim, rtol=rtol_eff,
                                logger=logger)
+        nsolves += 1
         u = u - du
         T = float(T - dT)
     return UPOResult(u=u, period=T, residuals=hist, converged=False,
-                     niter=maxiter, orbit=orbit)
+                     niter=maxiter, orbit=orbit, gmres_solves=nsolves)

@@ -67,7 +67,8 @@ def dssum(ctx: SemContext, u: jnp.ndarray) -> jnp.ndarray:
     if ctx.gs2_plan is not None:
         from .gslib2 import dssum2
         return _shard_anchor(ctx, dssum2(_shard_anchor(ctx, u),
-                                         ctx.gs2_plan, ctx.gs2_rv))
+                                         ctx.gs2_plan, ctx.gs2_rv,
+                                         shard_hint=ctx.shard_hint))
     return scatter(ctx, _assemble_global(ctx, u))
 
 

@@ -32,7 +32,23 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
+
+# Seam strips are tiny (O(seam-length x n) vs O(E n^2) fields) and genuinely
+# cross shard boundaries; without an explicit sharding the GSPMD partitioner
+# flip-flops their layout and logs "involuntary full rematerialization"
+# before replicating them anyway (MULTICHIP_r02..r04 tails). Constraining
+# them replicated makes that choice intentional: one all-gather of a few KB
+# per seam, then purely local arithmetic.
+
+
+def _hint_replicated(x, shard_hint):
+    if shard_hint is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(shard_hint[0], PartitionSpec()))
 
 
 # ---------------------------------------------------------------------------
@@ -207,8 +223,10 @@ def _seam_place(strips, t0, length, step, val):
         jnp.flip(val, axis=-2))
 
 
-def dssum2(u, plan, vtab):
-    """Direct-stiffness sum via the structured plan. u: (..., E, n, n)."""
+def dssum2(u, plan, vtab, shard_hint=None):
+    """Direct-stiffness sum via the structured plan. u: (..., E, n, n).
+    shard_hint: optional (device_mesh, axis) — replicates seam strips
+    explicitly under SPMD (see _hint_replicated)."""
     from .gslib import qcopy, qsum
     n, blocks, seams = plan
     vidx, vgid = vtab
@@ -243,8 +261,8 @@ def dssum2(u, plan, vtab):
         Bs[k] = B
 
     for (ba, sa, ta0, length, bb, sb, tb0, step, flip) in seams:
-        A = _get_side(Bs[ba], sa)
-        Bv = _get_side(Bs[bb], sb)
+        A = _hint_replicated(_get_side(Bs[ba], sa), shard_hint)
+        Bv = _hint_replicated(_get_side(Bs[bb], sb), shard_hint)
         av = A[..., ta0:ta0 + length, :]
         bv = _seam_slice(Bv, tb0, length, step)
         if flip:
