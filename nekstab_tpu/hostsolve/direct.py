@@ -89,6 +89,8 @@ class HostDirect:
         (hostsolve/pnpn2.py). Enclosed flows pin one pressure dof (the
         nullspace is the global constant); callers project the mean."""
         from .pnpn2 import build_E_sparse
+        self.D_sp = D_sp            # kept for the assembled steady Jacobian
+        self.wdiag = np.asarray(wdiag)
         E = build_E_sparse(D_sp, wdiag)
         npd = E.shape[0]
         efree = np.arange(npd) if has_outflow else np.arange(1, npd)
