@@ -276,14 +276,19 @@ def tdf(ctx: SemContext, cfg: NSConfig, case: CaseFields, has_outflow: bool,
         tol: float = 1e-7, max_periods: int = 200,
         residu_path: str | None = None, logger: Callable = print,
         callback: Callable | None = None,
-        bc_wave: Callable | None = None) -> StabilizerResult:
+        bc_wave: Callable | None = None,
+        chunk_steps: int | None = None) -> StabilizerResult:
     """Time-delayed feedback stabilization of a periodic orbit with target
     period T: f(t) = gain * (u(t) - u(t-T)), default gain the theoretically
     optimal -0.04432 * 2 pi / T (reference core/fixedp.f:37). The time step
     is adjusted so T = norbit * dt exactly (core/fixedp.f:24-35).
 
     bc_wave(t) (T-periodic scalar) drives a pulsed Dirichlet inlet through
-    case.u_bc_osc — the reference's forced-orbit jet (tpjet userbc)."""
+    case.u_bc_osc — the reference's forced-orbit jet (tpjet userbc).
+    chunk_steps: split each period's scan into pieces of at most this many
+    steps (one jitted chunk executable, ring buffer donated): physical
+    orbit lengths (tpjet: 667 steps) exceed the remote-TPU relay's
+    per-call execution limit as a monolithic scan (cf. driver.chunk_steps)."""
     import dataclasses
     norbit = int(np.ceil(period / cfg.dt))
     dt = period / norbit
@@ -300,20 +305,39 @@ def tdf(ctx: SemContext, cfg: NSConfig, case: CaseFields, has_outflow: bool,
     else:
         bcw = jnp.zeros(norbit, ctx.dtype)
 
-    @jax.jit
-    def one_period(case, state, ring, warmed):
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def run_chunk(case, state, ring, warmed, abi, ebi, idxs, bcwi):
         def body(carry, xs):
             st, ring = carry
-            abi, ebi, i, bcwi = xs
+            abx, ebx, i, bcwx = xs
             delayed = ring[i]
             f = jnp.where(warmed, gain, 0.0) * (st.u - delayed)
-            st2, _ = step(case, st, abi, ebi, fextra=f, bcw=bcwi)
+            st2, _ = step(case, st, abx, ebx, fextra=f, bcw=bcwx)
             res = _step_norm(ctx, st2.u - delayed)
             ring = ring.at[i].set(st2.u)
             return (st2, ring), res
-        (st, ring), res = lax.scan(
-            body, (state, ring), (ab, eb, jnp.arange(norbit), bcw))
+        (st, ring), res = lax.scan(body, (state, ring),
+                                   (abi, ebi, idxs, bcwi))
         return st, ring, res
+
+    c = chunk_steps or norbit
+    # uniform chunk length (pad-free): pick the largest c' <= c dividing
+    # norbit so ONE executable serves every piece
+    while norbit % c != 0:
+        c -= 1
+    idx_all = jnp.arange(norbit)
+
+    def one_period(case, state, ring, warmed):
+        res_parts = []
+        for k0 in range(0, norbit, c):
+            sl = slice(k0, k0 + c)
+            state, ring, res = run_chunk(case, state, ring, warmed,
+                                         ab[sl], eb[sl], idx_all[sl],
+                                         bcw[sl])
+            res_parts.append(res)
+        return state, ring, jnp.concatenate(res_parts)
 
     series = None
     if residu_path is not None:

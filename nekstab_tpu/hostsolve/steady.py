@@ -120,10 +120,14 @@ def _saddle(Lf, Df, scale=1.0):
     return sp.bmat([[Lf, -scale * Df.T], [Df, None]], format="csc")
 
 
-def leading_eigs(sys_, base_u, shift, k=8, sponge=None, tol=0):
+def leading_eigs(sys_, base_u, shift, k=8, sponge=None, tol=1e-10,
+                 ncv=None):
     """Leading eigenvalues of the linearized steady operator near `shift`
     (complex), via ARPACK shift-invert on the saddle system. Returns
-    (eigenvalues, velocity eigenvectors on free dofs)."""
+    (eigenvalues, velocity eigenvectors on free dofs). tol=1e-10 (not
+    ARPACK's machine-precision default): the factorized solve dominates
+    wall time and 1e-10 on the shift-inverted eigenvalue is far below the
+    1e-6 gold bar."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
@@ -138,7 +142,8 @@ def leading_eigs(sys_, base_u, shift, k=8, sponge=None, tol=0):
     Msys = sp.diags(np.concatenate([bmf, np.zeros(P)])).tocsc() \
         .astype(np.complex128)
     lam, vecs = spla.eigs(Asys, k=k, M=Msys, sigma=complex(shift),
-                          which="LM", tol=tol)
+                          which="LM", tol=tol,
+                          ncv=ncv if ncv is not None else max(40, 2 * k + 1))
     order = np.argsort(-lam.real)
     return lam[order], vecs[:nf, order], free
 

@@ -100,6 +100,7 @@ def jet_reference_system(re2_path: str, n: int = 7, re: float = 2005.0,
                          theta0: float = THETA0, dtype=jnp.float64,
                          vtol: float = 1e-9, ptol: float = 1e-8,
                          dealias: bool | int = True,
+                         host_direct: bool = False,
                          **cfg_kw) -> FlowSystem:
     """FlowSystem on the REFERENCE tpjet discretization: ingest the .re2
     (examples/tpjet/baseflow/tdf/tpjet.re2 — 4800 elements, one structured
@@ -111,7 +112,8 @@ def jet_reference_system(re2_path: str, n: int = 7, re: float = 2005.0,
     cfg = NSConfig(re=re, dt=dt, vtol=vtol, ptol=ptol, **cfg_kw)
     spng = sponge_fun_box(mesh.x, mesh.y, xr=sponge_xr)
     sys = FlowSystem(mesh, cfg, None, dtype=dtype, sponge_fun=spng,
-                     sponge_strength=sponge_strength, dealias=dealias)
+                     sponge_strength=sponge_strength, dealias=dealias,
+                     host_direct=host_direct)
     ctx = sys.ctx
     u_bc = jnp.asarray(dirichlet_values(
         mesh, {"V": lambda x, y: (rjet_profile(y, theta0),
