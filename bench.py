@@ -185,6 +185,21 @@ def main(do_ritz=True, nmatvec=3):
             # f64 orthogonalization (mixed precision, driver.dot64)
             space, mvb = sys_.direct_space_block(base, nsteps, dot64=True)
             V0 = jnp.stack([add_noise(ctx, seed=100 + s) for s in range(8)])
+            # physics-aware seed when available: the cached leading-mode
+            # field (matrix-mode eigenvector or f64 KS extraction) in the
+            # first block column makes the true leading pair converge
+            # instead of f32-noise spurious Ritz values
+            for seed_path in ("examples/_seed_matrix_direct.npz",
+                              "examples/_seed_lead_dt0.01.npz"):
+                p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 seed_path)
+                if os.path.exists(p):
+                    from nekstab_tpu.io.checkpoint import load_field
+                    us, _, _ = load_field(p, dtype=ctx.dtype)
+                    V0 = V0.at[0].set(jnp.asarray(us))
+                    print(f"# ritz seed: {seed_path}", file=sys.stderr,
+                          flush=True)
+                    break
             acfg = ArnoldiConfig(k_dim=96, eigen_tol=3e-4, schur_tgt=20,
                                  max_restarts=3, maxmodes=12)
             t0 = time.time()
@@ -207,20 +222,56 @@ def main(do_ritz=True, nmatvec=3):
             # physics gap, dominated by the pnpn-vs-PN/PN-2 pressure
             # space, RESULTS.md section 2).
             from nekstab_tpu.algorithms import log_transform
-            lam = log_transform(ks.evals[conv], tau=nsteps * DT)
-            order = np.argsort(-lam.real)
-            lam = lam[order]
+            lam_all = log_transform(ks.evals, tau=nsteps * DT)
+            conv_idx = np.flatnonzero(conv)
+            order = conv_idx[np.argsort(-lam_all[conv_idx].real)]
             F64_SAME = complex(1.66503052e-2, 7.60561592e-1)
             GOLD = complex(1.567373e-2, 7.565285e-1)
-            if lam.size:
-                lead = complex(lam[0].real, abs(lam[0].imag))
+            # EXPLICIT verification of the top pairs: the algebraic
+            # residual |H-block tail| underestimates under f32 matvec
+            # noise and admits spurious "converged" pairs (measured: a
+            # fake lead at sigma=0.04 vs the true 0.0166). One matvec per
+            # vector gives the true residual ||A v - mu v||_B/||v||_B.
+            dot = space.dot
+            pairs = []
+            seen = set()
+            for i in order[:8]:
+                mu = complex(ks.evals[i])
+                key = (round(mu.real, 6), round(abs(mu.imag), 6))
+                if key in seen or len(pairs) >= 4:
+                    continue
+                seen.add(key)
+                pairs.append((i, mu, *ks.reconstruct_mode(i)))
+            # one block-8 matvec verifies four pairs (reuses the compiled
+            # block executable)
+            verified = []
+            Wv = None
+            if pairs:
+                Vv = jnp.stack([v for p in pairs for v in (p[2], p[3])]
+                               + [pairs[0][2]] * (8 - 2 * len(pairs)))
+                Wv = mvb(Vv)
+            for j, (i, mu, vr, vi) in enumerate(pairs):
+                wr, wi = Wv[2 * j], Wv[2 * j + 1]
+                er = wr - (mu.real * vr - mu.imag * vi)
+                ei = wi - (mu.imag * vr + mu.real * vi)
+                num = float(dot(er, er) + dot(ei, ei)) ** 0.5
+                den = float(dot(vr, vr) + dot(vi, vi)) ** 0.5
+                lamv = complex(lam_all[i].real, abs(lam_all[i].imag))
+                verified.append((lamv, num / max(den, 1e-300)))
+            verified.sort(key=lambda t: (t[1] > 5e-3, -t[0].real))
+            result["ritz_verified"] = [
+                [round(l.real, 7), round(l.imag, 7), round(r, 6)]
+                for l, r in verified]
+            good = [l for l, r in verified if r < 5e-3]
+            if good:
+                lead = good[0]
                 result.update(
                     ritz_lead_sigma=round(lead.real, 8),
                     ritz_lead_omega=round(lead.imag, 8),
                     ritz_gap_f64_same_disc=round(abs(lead - F64_SAME), 8),
-                    ritz_gap_gold=round(abs(lead - GOLD), 8),
-                    ritz_top5=[[round(l.real, 7), round(abs(l.imag), 7)]
-                               for l in lam[:5]])
+                    ritz_gap_gold=round(abs(lead - GOLD), 8))
+            else:
+                result["ritz_lead_unverified"] = True
             emit(result)
         except Exception as e:
             print(f"# ritz stage failed: {e!r}", file=sys.stderr, flush=True)

@@ -216,9 +216,20 @@ def steady_newton(sys_, u0, tol=1e-11, maxiter=12, logger=print,
         dvg[free] = dx[:nf]
         du = scatter(ctx, jnp.asarray(dvg.reshape(2, G), ctx.dtype))
         dq = jnp.asarray(dx[nf:].reshape(rq.shape), ctx.dtype)
-        # R(u + du) ~ 0 for the EXACT Jacobian: full step, no line search
-        u = u - du
-        q = q - dq
+        # exact Jacobian -> full step; damped fallback for rough seeds
+        # (each trial is one cheap residual evaluation)
+        s = 1.0
+        for _ in range(5):
+            ut, qt = u - s * du, q - s * dq
+            rv_t, rq_t = resid(ut, qt)
+            rt = float(np.sqrt(
+                np.sum(_as_np(rv_t).reshape(2 * G)[free] ** 2)
+                + np.sum(_as_np(rq_t) ** 2)))
+            if np.isfinite(rt) and (rt < rnorm or s <= 1 / 16):
+                break
+            logger(f"[steady_newton]   damp: |R({s:g})|={rt:.3e}")
+            s *= 0.5
+        u, q = ut, qt
     rv, rq = resid(u, q)
     r = float(np.sqrt(float(np.vdot(_as_np(rv), _as_np(rv)))
                       + float(np.vdot(_as_np(rq), _as_np(rq)))))
