@@ -175,10 +175,19 @@ def steady_residual_fn(sys_):
 
 
 def steady_newton(sys_, u0, tol=1e-11, maxiter=12, logger=print,
-                  callback=None):
+                  callback=None, ptc_dtau=None):
     """Direct Newton for the coupled steady PN/PN-2 system. u0: velocity
-    field (2, E, n, n) satisfying the Dirichlet BCs. Returns (u, q, hist)."""
+    field (2, E, n, n) satisfying the Dirichlet BCs. Returns (u, q, hist).
+
+    ptc_dtau: initial pseudo-time step for pseudo-transient continuation
+    (Kelley & Keyes SER): the velocity block is augmented with -M/dtau and
+    dtau grows as |R| falls, blending implicit-Euler marching into full
+    Newton. Use for seeds outside the pure-Newton basin (the BFS Re=500
+    recirculation: pure damped Newton oscillated at |R|~3e-3 and a
+    floor-accepted bad step destroyed the iterate — out/bfs_matrix_base.log
+    round 5). None = pure Newton (cylinder converges quadratically)."""
     import jax.numpy as jnp
+    import scipy.sparse as sp
     import scipy.sparse.linalg as spla
     from ..ops.gather_scatter import scatter
 
@@ -188,7 +197,7 @@ def steady_newton(sys_, u0, tol=1e-11, maxiter=12, logger=print,
     u = jnp.asarray(u0, ctx.dtype)
     q = jnp.zeros((ctx.bm.shape[0], ctx.n - 2, ctx.n - 2), ctx.dtype)
     hist = []
-    lu = None
+    dtau = ptc_dtau
     for it in range(1, maxiter + 1):
         rv, rq = resid(u, q)
         rv = _as_np(rv)
@@ -198,8 +207,12 @@ def steady_newton(sys_, u0, tol=1e-11, maxiter=12, logger=print,
         free = np.concatenate([hs._hfree[0], G + hs._hfree[1]])
         r = np.concatenate([rv.reshape(2 * G)[free], rq.ravel()])
         rnorm = float(np.linalg.norm(r))
+        if hist and dtau is not None:
+            # SER: grow the pseudo-step by the realized reduction
+            dtau = min(dtau * max(hist[-1] / max(rnorm, 1e-300), 0.1), 1e12)
         hist.append(rnorm)
-        logger(f"[steady_newton] iter={it} |R|={rnorm:.6e}")
+        logger(f"[steady_newton] iter={it} |R|={rnorm:.6e}"
+               + (f" dtau={dtau:.2e}" if dtau is not None else ""))
         if callback is not None:
             callback(it, u, q, rnorm)
         if rnorm < tol:
@@ -208,7 +221,10 @@ def steady_newton(sys_, u0, tol=1e-11, maxiter=12, logger=print,
         # strength), d(Rv)/dq = -D^T, d(Rq)/du = D
         L, M, D, free = steady_matrices(
             sys_, u, sponge=sys_.sponge_strength * sys_.sponge_fun)
-        Asys = _saddle(L[free][:, free], D[:, free])
+        Lf = L[free][:, free]
+        if dtau is not None:
+            Lf = (Lf - sp.diags(M.diagonal()[free] / dtau)).tocsr()
+        Asys = _saddle(Lf, D[:, free])
         lu = spla.splu(Asys)
         dx = lu.solve(r)
         nf = free.size
@@ -216,20 +232,29 @@ def steady_newton(sys_, u0, tol=1e-11, maxiter=12, logger=print,
         dvg[free] = dx[:nf]
         du = scatter(ctx, jnp.asarray(dvg.reshape(2, G), ctx.dtype))
         dq = jnp.asarray(dx[nf:].reshape(rq.shape), ctx.dtype)
-        # exact Jacobian -> full step; damped fallback for rough seeds
-        # (each trial is one cheap residual evaluation)
-        s = 1.0
-        for _ in range(5):
+        # damped fallback for rough seeds; NEVER accept a worse iterate —
+        # keep the best trial (a floor-accepted bad step at s=1/16
+        # destroyed the r5 BFS run)
+        s, best = 1.0, None
+        for _ in range(6):
             ut, qt = u - s * du, q - s * dq
             rv_t, rq_t = resid(ut, qt)
             rt = float(np.sqrt(
                 np.sum(_as_np(rv_t).reshape(2 * G)[free] ** 2)
                 + np.sum(_as_np(rq_t) ** 2)))
-            if np.isfinite(rt) and (rt < rnorm or s <= 1 / 16):
+            if np.isfinite(rt) and (best is None or rt < best[2]):
+                best = (ut, qt, rt)
+            if np.isfinite(rt) and rt < rnorm:
                 break
             logger(f"[steady_newton]   damp: |R({s:g})|={rt:.3e}")
             s *= 0.5
-        u, q = ut, qt
+        if best[2] >= rnorm:
+            logger("[steady_newton]   no improving step — keeping iterate"
+                   + ("" if dtau is None else " (shrinking dtau)"))
+            if dtau is not None:
+                dtau = max(dtau * 0.2, 1e-6)
+            continue
+        u, q = best[0], best[1]
     rv, rq = resid(u, q)
     r = float(np.sqrt(float(np.vdot(_as_np(rv), _as_np(rv)))
                       + float(np.vdot(_as_np(rq), _as_np(rq)))))

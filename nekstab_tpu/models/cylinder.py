@@ -202,12 +202,17 @@ def cylinder_reference_system(fld_path: str, *, re: float = 50.0,
     u_bc = jnp.asarray(dirichlet_values(
         mesh, {"V": lambda xx, yy: (np.ones_like(xx), np.zeros_like(xx))}),
         ctx.dtype)
-    ones = jnp.ones_like(ctx.bm)
-    u_inf = jnp.stack([ones, jnp.zeros_like(ctx.bm)])
-    sys.case = CaseFields(u_bc=u_bc, f=jnp.zeros_like(u_inf),
-                          sponge=sponge_strength * sys.sponge_fun,
-                          sponge_ref=u_inf)
     base_u = jnp.asarray(np.stack([tf(d["u"]), tf(d["v"])]), ctx.dtype)
+    # sponge REFERENCE field = the loaded state, the reference's semantics
+    # (spng_init copies vx -> spng_vr at init, core/utils.f:244): the DNS/
+    # Newton sponge force str*ramp*(spng_vr - u) then VANISHES at the
+    # loaded base flow. Sponging toward freestream instead (the r1-r4
+    # convention) converges to a measurably different base flow and was
+    # ~96% of the four-round gold eigenvalue gap: dsigma +9.5e-4 -> +3.9e-5
+    # (out/gold/gap_diagnosis_pnpn2.json, round 5).
+    sys.case = CaseFields(u_bc=u_bc, f=jnp.zeros_like(base_u),
+                          sponge=sponge_strength * sys.sponge_fun,
+                          sponge_ref=base_u)
     return sys, base_u
 
 

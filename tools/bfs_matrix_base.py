@@ -65,8 +65,22 @@ def main():
               f"({time.time()-t0:.0f}s)", flush=True)
         save_field(warm_ckpt, np.asarray(u0), dt=args.dt)
 
-    u, q, hist = steady_newton(sys_, u0, tol=args.tol, maxiter=12,
-                               logger=lambda s: print(s, flush=True))
+    # Reynolds continuation: the Re=500 recirculation sits outside the
+    # pure-Newton basin of a 40-TU warmup seed (damped Newton oscillated at
+    # |R|~3e-3; PTC/SER crawled at 5%/iter). Each intermediate Re converges
+    # in a few damped-Newton steps and warm-seeds the next.
+    import dataclasses
+    u = u0
+    for re_lvl in (150.0, 300.0, 500.0):
+        sys_.cfg = dataclasses.replace(sys_.cfg, re=re_lvl)
+        sys_.ctx.hsolve._hcache.clear()
+        print(f"--- continuation Re={re_lvl} ---", flush=True)
+        u, q, hist = steady_newton(sys_, u, tol=args.tol, maxiter=14,
+                                   logger=lambda s: print(s, flush=True))
+    print(json.dumps({"resid": hist[-1], "iters": len(hist),
+                      "wall_s": round(time.time() - t0, 1)}), flush=True)
+    if hist[-1] > 1e-8:
+        raise SystemExit(f"NOT saving: unconverged |R|={hist[-1]:.3e}")
     out = os.path.join(HERE, "_bf_bfs_ref_tpu.npz")
     save_field(out, np.asarray(u), newton_residual=float(hist[-1]),
                source="steady_newton_matrix_pnpn2")
@@ -74,8 +88,6 @@ def main():
     save_field(os.path.join(HERE, "_bf_bfs_ref.npz"), np.asarray(u),
                newton_residual=float(hist[-1]),
                source="steady_newton_matrix_pnpn2")
-    print(json.dumps({"resid": hist[-1], "iters": len(hist),
-                      "wall_s": round(time.time() - t0, 1)}), flush=True)
     print(f"saved {out}", flush=True)
 
 
