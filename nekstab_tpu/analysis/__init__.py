@@ -6,6 +6,9 @@ from .sensitivity import (biorthogonalize, wavemaker, bf_sensitivity,
                           steady_force_sensitivity, delta_forcing)
 from .monitor import RunMonitor, WatchdogError, cfl
 from .outpost import outpost_ks
+from .postproc3d import (vorticity3, q_criterion3, lambda2_criterion3,
+                         delta_criterion3, swirling_strength3,
+                         omega_criterion3)
 
 __all__ = [
     "vorticity", "q_criterion", "delta_criterion", "swirling_strength",
@@ -15,4 +18,6 @@ __all__ = [
     "biorthogonalize", "wavemaker", "bf_sensitivity",
     "steady_force_sensitivity", "delta_forcing",
     "RunMonitor", "WatchdogError", "cfl", "outpost_ks",
+    "vorticity3", "q_criterion3", "lambda2_criterion3",
+    "delta_criterion3", "swirling_strength3", "omega_criterion3",
 ]

@@ -168,3 +168,56 @@ def test_linearized_consistency_3d(sys_cavity):
     num = float(jnp.linalg.norm((fd - lv).ravel()))
     den = float(jnp.linalg.norm(lv.ravel()))
     assert num / den < 1e-6, num / den
+
+
+def test_vortex_criteria_3d():
+    """3D criteria on analytic fields: a Burgers-like columnar vortex has
+    Q>0, lambda2<0 and |vorticity|=2*Omega on the axis; a pure shear has
+    Q<0, lambda_ci=0 and lambda2>=0 off-core."""
+    import jax.numpy as jnp
+    import numpy as np
+    from nekstab_tpu.analysis.postproc3d import (
+        delta_criterion3, lambda2_criterion3, omega_criterion3,
+        q_criterion3, swirling_strength3, vorticity3)
+    from nekstab_tpu.mesh3d import box_mesh3
+    from nekstab_tpu.ops.sem3d import make_context3d
+
+    mesh = box_mesh3(5, 2, 2, 2, -1, 1, -1, 1, -1, 1,
+                     bc_fn=lambda x, y, z, f: "W")
+    ctx = make_context3d(mesh)
+    x, y, z = (np.asarray(ctx.xcoord), np.asarray(ctx.ycoord),
+               np.asarray(ctx.zcoord))
+
+    # solid-body rotation about z: u = (-Om y, Om x, 0)
+    Om = 0.7
+    u_rot = jnp.asarray(np.stack([-Om * y, Om * x, np.zeros_like(z)]))
+    w = vorticity3(ctx, u_rot)
+    assert float(jnp.max(jnp.abs(w[2] - 2 * Om))) < 1e-10
+    assert float(jnp.max(jnp.abs(w[0]))) < 1e-10
+    q = q_criterion3(ctx, u_rot)
+    assert float(jnp.min(q)) > 0          # pure rotation: Q = Om^2 > 0
+    assert float(jnp.max(jnp.abs(q - Om ** 2))) < 1e-9
+    l2 = lambda2_criterion3(ctx, u_rot)
+    assert float(jnp.max(l2)) < -Om ** 2 * 0.99   # lambda2 = -Om^2
+    lci = swirling_strength3(ctx, u_rot)
+    assert float(jnp.max(jnp.abs(lci - Om))) < 1e-6
+    om = omega_criterion3(ctx, u_rot)
+    assert float(jnp.min(om)) > 0.9       # rotation-dominated -> ~1
+    d = delta_criterion3(ctx, u_rot)
+    assert float(jnp.min(d)) > 0
+
+    # pure shear u = (s y, 0, 0): Q = 0 exactly, no swirling, lambda2 = 0
+    s = 1.3
+    u_sh = jnp.asarray(np.stack([s * y, np.zeros_like(y),
+                                 np.zeros_like(z)]))
+    assert float(jnp.max(jnp.abs(q_criterion3(ctx, u_sh)))) < 1e-9
+    assert float(jnp.max(swirling_strength3(ctx, u_sh))) < 1e-8
+    assert float(jnp.max(jnp.abs(lambda2_criterion3(ctx, u_sh)))) < 1e-8
+
+    # planar strain u = (a x, -a y, 0): Q = -a^2 < 0, lambda2 = +a^2
+    a = 0.9
+    u_st = jnp.asarray(np.stack([a * x, -a * y, np.zeros_like(z)]))
+    q = q_criterion3(ctx, u_st)
+    assert float(jnp.max(jnp.abs(q + a ** 2))) < 1e-9
+    l2 = lambda2_criterion3(ctx, u_st)
+    assert float(jnp.min(l2)) > a ** 2 * 0.99
