@@ -20,4 +20,5 @@ run bfs_tg_1723 examples/bfs_reference_tg.py --stage tg --tpu \
 run bfs_tg_3853 examples/bfs_reference_tg.py --stage tg --tpu \
     --dt 5e-3 --tau 3.853 --kdim 64 --tol 3e-4
 run bench_r5b bench.py
-run tpjet_tdf examples/tpjet_tdf.py --max-periods 25 --warmup 20
+run flipflop_dns examples/flipflop_dns.py --warmup 150 --measure 50
+run tpjet_tdf examples/tpjet_tdf.py --max-periods 18 --warmup 15
