@@ -137,7 +137,7 @@ def main(args):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--re", type=float, default=100.0)
-    ap.add_argument("--dt", type=float, default=2e-2)
+    ap.add_argument("--dt", type=float, default=1e-2)
     ap.add_argument("--warmup", type=float, default=150.0)
     ap.add_argument("--measure", type=float, default=40.0)
     ap.add_argument("--perturb", type=float, default=1e-3)

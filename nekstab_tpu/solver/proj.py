@@ -200,8 +200,15 @@ def make_step2(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
                 + dt * (eb[0] * ncur + eb[1] * state.nlag[0]
                         + eb[2] * state.nlag[1]))
         g0 = ab[0]
-        p_ext = (eb[0] * state.p + eb[1] * state.plag[0]
-                 + eb[2] * state.plag[1])
+        # FIRST-order pressure extrapolation (standard incremental form,
+        # Guermond & Shen 2006): the EXT3 row (3,-3,1) on the pressure is
+        # unstable for this non-rotational splitting — measured: a
+        # sign-alternating parasitic mode growing 57x per 0.5 TU at
+        # dt=1e-2 and 381x at dt=5e-3 (worse as dt shrinks), which is
+        # also what stalled the r4 time-stepper Newton-GMRES. p_ext = p^n
+        # is stable; the temporal eigenvalue bias is quantified against
+        # the assembled-matrix answer (tests/test_steady.py, RESULTS.md).
+        p_ext = state.p
 
         u_b = (1.0 - ctx.mask_vel) * u_bc
         rhs_loc = (ctx.bm * uhat / dt - div2_t(ctx, p_ext)
@@ -234,7 +241,7 @@ def make_advance2(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
             bcw = xs[2] if len(xs) > 2 else None
             st2, _ = step(case, st, ab, eb, bcw=bcw)
             energy = 0.5 * glsc3(ctx, st2.u, ctx.bm, st2.u)
-            out = (energy, st2.u) if collect else energy
+            out = (energy, st.u) if collect else energy  # PRE-step
             return st2, out
 
         xs = (ab_seq, eb_seq) if bcw_seq is None else (ab_seq, eb_seq, bcw_seq)
@@ -263,8 +270,7 @@ def make_linear_step2(ctx: SemContext, cfg: NSConfig, has_outflow: bool):
                 + dt * (eb[0] * ncur + eb[1] * state.nlag[0]
                         + eb[2] * state.nlag[1]))
         g0 = ab[0]
-        p_ext = (eb[0] * state.p + eb[1] * state.plag[0]
-                 + eb[2] * state.plag[1])
+        p_ext = state.p          # first-order: see make_step2 note
         rhs_loc = ctx.bm * uhat / dt - div2_t(ctx, p_ext)
         ustar = _helm_solve(ctx, cfg, nu_c, rhs_loc, g0, dt)
         dp = esolve((g0 / dt) * div2(ctx, ustar))

@@ -494,7 +494,11 @@ def make_advance(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
             bcw = xs[2] if len(xs) > 2 else None
             new_state, _ = step(case, st, ab, eb, bcw=bcw)
             energy = 0.5 * glsc3(ctx, new_state.u, ctx.bm, new_state.u)
-            out = (energy, new_state.u) if collect else energy
+            # trajectory samples are the PRE-step states u_j: the orbit
+            # replay linearizes step j about u_j (validated against the
+            # exact jvp to 6e-8; the after-step convention biased the
+            # Floquet trivial multiplier by ~6e-3 at dt=1e-2 — round 5)
+            out = (energy, st.u) if collect else energy
             return new_state, out
 
         xs = (ab_seq, eb_seq) if bcw_seq is None else (ab_seq, eb_seq, bcw_seq)
@@ -525,7 +529,7 @@ def make_advance_chunk(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
             ab, eb = xs
             new_state, _ = step(case, st, ab, eb)
             energy = 0.5 * glsc3(ctx, new_state.u, ctx.bm, new_state.u)
-            out = (energy, new_state.u) if collect else energy
+            out = (energy, st.u) if collect else energy   # PRE-step state
             return new_state, out
 
         return lax.scan(body, state, (ab_seq, eb_seq))
@@ -547,7 +551,7 @@ def make_advance_dt_chunk(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
         def body(st, xs):
             ab, eb = xs
             new_state, _ = step(case, st, ab, eb, dt=dt)
-            out = new_state.u if collect else None
+            out = st.u if collect else None               # PRE-step state
             return new_state, out
 
         return lax.scan(body, state, (ab_seq, eb_seq))
@@ -570,7 +574,7 @@ def make_advance_dt(ctx: SemContext, cfg: NSConfig, has_outflow: bool,
         def body(st, coeffs):
             ab, eb = coeffs
             new_state, _ = step(case, st, ab, eb, dt=dt)
-            out = new_state.u if collect else None
+            out = st.u if collect else None               # PRE-step state
             return new_state, out
 
         return lax.scan(body, state, (ab_seq, eb_seq))

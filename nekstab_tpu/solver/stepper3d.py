@@ -181,7 +181,7 @@ def make_advance3(ctx: SemContext3D, cfg: NSConfig, has_outflow: bool,
             ab, eb = xs
             new_state, _ = step(case, st, ab, eb)
             energy = 0.5 * jnp.sum(new_state.u[:3] ** 2 * ctx.bm)
-            out = (energy, new_state.u) if collect else energy
+            out = (energy, st.u) if collect else energy  # PRE-step
             return new_state, out
 
         return lax.scan(body, state, (ab_seq, eb_seq))
