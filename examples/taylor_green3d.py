@@ -47,7 +47,9 @@ def main(n=8, ne=2, dt=5e-3, t_end=0.5, nu=0.05):
     x, y = ctx.xcoord, ctx.ycoord
 
     def exact(t):
-        d = np.exp(-2.0 * nu * t)
+        # python float, not np.float64: np scalars are strong-typed in JAX
+        # and would promote the f32 fields to f64 (breaking the scan carry)
+        d = float(np.exp(-2.0 * nu * t))
         return jnp.stack([-jnp.cos(x) * jnp.sin(y) * d,
                           jnp.sin(x) * jnp.cos(y) * d,
                           jnp.zeros_like(x)])
