@@ -46,19 +46,21 @@ def st_heuristic(re: float) -> float:
     return 0.208 - 4.16 / re
 
 
-def build(re: float, dt: float, n: int):
+def build(re: float, dt: float, n: int, small: bool = False):
     import dataclasses
     from nekstab_tpu.models.cylinder import cylinder_system
+    kw = dict(nq=4, n_ring=2, nx_left=2, nx_right=6, ny_side=2,
+              xmax=25.0) if small else {}
     if TPU:
         sys_ = cylinder_system(n=n, re=re, dt=dt, dtype=jnp.float32,
-                               vtol=1e-5, ptol=1e-5)
+                               vtol=1e-5, ptol=1e-5, **kw)
         sys_.cfg = dataclasses.replace(sys_.cfg, vmaxit=100, pmaxit=400)
         return sys_
-    return cylinder_system(n=n, re=re, dt=dt, host_direct=True)
+    return cylinder_system(n=n, re=re, dt=dt, host_direct=True, **kw)
 
 
 def run_re(re: float, outdir: str, *, n: int, dt: float, k_dim: int,
-           tol: float, dns_tu: float, adjoint: bool):
+           tol: float, dns_tu: float, adjoint: bool, small: bool = False):
     from nekstab_tpu.algorithms import krylov_schur, log_transform
     from nekstab_tpu.algorithms.fixed_point import sfd
     from nekstab_tpu.analysis import cfl, outpost_ks
@@ -71,7 +73,7 @@ def run_re(re: float, outdir: str, *, n: int, dt: float, k_dim: int,
     log = lambda s: print(f"[re={re:g}] {s}", flush=True)
     st_est = st_heuristic(re)
     tau = round((1.0 / st_est) / 8.0, 2)
-    sys_ = build(re, dt, n)
+    sys_ = build(re, dt, n, small)
     ctx = sys_.ctx
     log(f"mesh {sys_.mesh.nelem} elems, {sys_.mesh.nglobal} dofs, "
         f"backend={jax.default_backend()}; St_est={st_est:.4f} tau={tau}")
@@ -182,13 +184,15 @@ def main():
     ap.add_argument("--dns-tu", type=float, default=30.0)
     ap.add_argument("--adjoint", action="store_true")
     ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--small", action="store_true")
     args = ap.parse_args()
     tol = args.tol if args.tol is not None else (3e-4 if TPU else 1e-6)
     os.makedirs(args.outdir, exist_ok=True)
     rows = []
     for re in args.re:
         s = run_re(re, args.outdir, n=args.n, dt=args.dt, k_dim=args.kdim,
-                   tol=tol, dns_tu=args.dns_tu, adjoint=args.adjoint)
+                   tol=tol, dns_tu=args.dns_tu, adjoint=args.adjoint,
+                   small=args.small)
         rows.append((re, s.get("direct", {})))
     print("\nRe     sigma        omega       St      St_heur")
     for re, r in rows:
